@@ -1,0 +1,85 @@
+"""Native C++ codec tests: bit-compat with the NumPy oracle, LZ4 round-trips."""
+
+import numpy as np
+import pytest
+
+from trico_tpu import native
+from trico_tpu.codec import fp_ref
+from conftest import mesh_like_floats
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 8, 9, 1000, 100003])
+def test_fp32_native_matches_oracle(n):
+    vals = mesh_like_floats(n, seed=n).view(np.uint32)
+    assert native.fp_encode(vals, 4, 10) == fp_ref.compress(vals, 4, 10)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 999, 10000])
+def test_fp64_native_matches_oracle(n):
+    vals = mesh_like_floats(n, seed=n, dtype=np.float64).view(np.uint64)
+    assert native.fp_encode(vals, 20, 20) == fp_ref.compress(vals, 20, 20)
+
+
+@pytest.mark.parametrize("n", [1, 9, 100001])
+def test_fp32_native_roundtrip(n):
+    vals = mesh_like_floats(n, seed=n).view(np.uint32)
+    comp = native.fp_encode(vals, 4, 10)
+    np.testing.assert_array_equal(native.fp_decode(comp, 32), vals)
+
+
+@pytest.mark.parametrize("n", [1, 2, 9999])
+def test_fp64_native_roundtrip(n):
+    vals = mesh_like_floats(n, seed=n, dtype=np.float64).view(np.uint64)
+    comp = native.fp_encode(vals, 20, 20)
+    np.testing.assert_array_equal(native.fp_decode(comp, 64), vals)
+
+
+def test_fp32_native_decodes_oracle_output():
+    vals = mesh_like_floats(5000, seed=3).view(np.uint32)
+    comp = fp_ref.compress(vals, 6, 12)
+    np.testing.assert_array_equal(native.fp_decode(comp, 32), vals)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"hello world " * 100,
+        bytes(range(256)) * 40,
+        b"\x00" * 10000,
+        np.random.default_rng(0).integers(0, 256, 50000).astype(np.uint8).tobytes(),
+        np.random.default_rng(1).integers(0, 4, 50000).astype(np.uint8).tobytes(),
+        b"abcdefgh" * 3 + b"x",  # short input below MFLIMIT handling
+    ],
+    ids=["empty", "one", "text", "cycle", "zeros", "random", "lowent", "short"],
+)
+def test_lz4_roundtrip(data):
+    comp = native.lz4_compress(data)
+    out = native.lz4_decompress(comp, len(data))
+    assert out.tobytes() == data
+
+
+def test_lz4_compresses_repetitive():
+    data = b"0123456789abcdef" * 4096
+    comp = native.lz4_compress(data)
+    assert len(comp) < len(data) // 20
+
+
+def test_lz4_ratio_on_byte_planes():
+    """Byte-plane-shuffled triangle indices should compress well (the trico
+    integer path int_compression.cpp:75-158 relies on this)."""
+    idx = np.arange(0, 3 * 69451, dtype=np.uint32)  # sequential indices
+    planes = idx.view(np.uint8).reshape(-1, 4).T.copy()
+    total = sum(len(native.lz4_compress(p.tobytes())) for p in planes)
+    assert total < idx.nbytes / 10
+
+
+def test_lz4_corrupt_rejected():
+    data = b"some compressible data " * 50
+    comp = bytearray(native.lz4_compress(data))
+    comp = comp[: len(comp) // 2]  # truncate
+    with pytest.raises(ValueError):
+        native.lz4_decompress(bytes(comp), len(data))

@@ -1,0 +1,415 @@
+// trico-tpu native host runtime: scalar FCM/DFCM floating-point stream codec and
+// an LZ4-block-format codec, both implemented from scratch.
+//
+// Format compatibility targets (see SURVEY.md §2 and the format notes in
+// trico_tpu/codec/fp_ref.py):
+//  * FP substream: [u8 hash_info][u32 BE count] + tagged groups with big-endian
+//    truncated XOR residuals (reference floating_point_stream_compression.c).
+//  * LZ4: raw block format (token = 4b literal-run | 4b match-len, u16 LE offset,
+//    MINMATCH 4, last-5-literals / 12-byte-end rules) — interoperable with any
+//    compliant LZ4 block decoder/encoder.
+//
+// This is the fast host path of the framework (used by the archive layer for
+// single-stream reference-compatible mode); the TPU path lives in
+// trico_tpu/codec/fp_jax.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#define EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+template <typename T>
+struct HashTables {
+  std::vector<T> t1, t2;
+};
+
+template <typename T, int BITS>
+struct FpCtx {
+  static constexpr int GROUP = (BITS == 32) ? 8 : 2;
+  static constexpr int FCM_MAX = (BITS == 32) ? 4 : 8;
+  uint32_t e1, e2;
+  T m1, m2;
+  std::vector<T> t1, t2;
+  T h1 = 0, h2 = 0, pred1 = 0, pred2 = 0, last = 0;
+
+  FpCtx(uint32_t e1_, uint32_t e2_) {
+    e1 = (e1_ >> 1) << 1;
+    e2 = (e2_ >> 1) << 1;
+    if (e1 > 30) e1 = 30;
+    if (e2 > 30) e2 = 30;
+    m1 = (T(1) << e1) - 1;
+    m2 = (T(1) << e2) - 1;
+    t1.assign(size_t(1) << e1, 0);
+    t2.assign(size_t(1) << e2, 0);
+  }
+
+  inline void step_tables(T v) {
+    t1[h1] = v;
+    h1 = e1 ? (((h1 << e1) ^ (v >> (BITS - e1))) & m1) : 0;
+    pred1 = t1[h1];
+    T stride = v - last;
+    t2[h2] = stride;
+    h2 = e2 ? (((h2 << (e2 / 2)) ^ (stride >> (BITS - e2))) & m2) : 0;
+    // store DFCM prediction with last_value folded in (decoder form)
+    pred2 = v + t2[h2];
+    last = v;
+  }
+};
+
+inline int byte_len32(uint32_t x) {
+  if (!x) return 0;
+  if (!(x >> 8)) return 1;
+  if (!(x >> 16)) return 2;
+  if (!(x >> 24)) return 3;
+  return 4;
+}
+inline int byte_len64(uint64_t x) {
+  int n = 0;
+  while (x) {
+    ++n;
+    x >>= 8;
+  }
+  return n;
+}
+
+inline void put_be(uint8_t*& out, uint64_t v, int nbytes) {
+  for (int q = nbytes - 1; q >= 0; --q) *out++ = uint8_t(v >> (8 * q));
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------- FP encode
+
+template <typename T, int BITS>
+static int64_t fp_encode(const T* in, uint32_t n, uint32_t e1, uint32_t e2,
+                         uint8_t* out, int64_t cap) {
+  constexpr int GROUP = (BITS == 32) ? 8 : 2;
+  constexpr int FCM_MAX = (BITS == 32) ? 4 : 8;
+  FpCtx<T, BITS> c(e1, e2);
+  // worst case per group: tag + GROUP * sizeof(T)
+  int64_t need = 5 + int64_t((n + GROUP - 1) / GROUP) * ((BITS == 32) ? 3 : 1) +
+                 int64_t(n) * sizeof(T) + 8;
+  if (cap < need) return -1;
+  uint8_t* p = out;
+  *p++ = uint8_t(((c.e1 >> 1) << 4) | (c.e2 >> 1));
+  put_be(p, n, 4);
+  if (n == 0) return p - out;
+
+  T xor1[GROUP], xor2[GROUP];
+  int bcode[GROUP];
+  uint32_t j = 0;
+
+  auto emit = [&](void) {
+    if (BITS == 32) {
+      uint32_t bc = 0;
+      for (int k = 0; k < GROUP; ++k) bc |= uint32_t(bcode[k]) << (3 * k);
+      *p++ = uint8_t(bc >> 16);
+      *p++ = uint8_t(bc >> 8);
+      *p++ = uint8_t(bc);
+    } else {
+      *p++ = uint8_t(bcode[0] | (bcode[1] << 4));
+    }
+    for (int k = 0; k < GROUP; ++k) {
+      int b = bcode[k];
+      if (!b) continue;
+      if (b <= FCM_MAX)
+        put_be(p, xor1[k], b);
+      else
+        put_be(p, xor2[k], b - FCM_MAX);
+    }
+  };
+
+  for (uint32_t i = 0; i < n; ++i) {
+    j = i % GROUP;
+    T v = in[i];
+    xor1[j] = v ^ c.pred1;
+    xor2[j] = v ^ c.pred2;  // pred2 already includes last_value
+    c.step_tables(v);
+    int nb1 = (BITS == 32) ? byte_len32(uint32_t(xor1[j])) : byte_len64(xor1[j]);
+    int nb2 = (BITS == 32) ? byte_len32(uint32_t(xor2[j])) : byte_len64(xor2[j]);
+    if (nb2 == 0) nb2 = 1;  // DFCM zero residual still stores one byte
+    if (nb1 >= 2 && nb2 < nb1 && nb2 <= FCM_MAX - 1)
+      bcode[j] = FCM_MAX + nb2;
+    else
+      bcode[j] = nb1;
+    if (j == GROUP - 1) emit();
+  }
+  if (j != GROUP - 1) {
+    for (uint32_t k = j + 1; k < GROUP; ++k) {
+      bcode[k] = 1;
+      xor1[k] = 0;
+    }
+    emit();
+  }
+  return p - out;
+}
+
+// ---------------------------------------------------------------- FP decode
+
+template <typename T, int BITS>
+static int64_t fp_decode(const uint8_t* in, int64_t in_size, T* out,
+                         uint32_t out_cap_n, uint32_t* n_out) {
+  constexpr int GROUP = (BITS == 32) ? 8 : 2;
+  constexpr int FCM_MAX = (BITS == 32) ? 4 : 8;
+  if (in_size < 5) return -1;
+  const uint8_t* p = in;
+  const uint8_t* end = in + in_size;
+  uint8_t hash_info = *p++;
+  uint32_t e1 = uint32_t(hash_info >> 4) << 1;
+  uint32_t e2 = uint32_t(hash_info & 15) << 1;
+  uint32_t n = 0;
+  for (int k = 0; k < 4; ++k) n = (n << 8) | *p++;
+  *n_out = n;
+  if (n > out_cap_n) return -2;
+  FpCtx<T, BITS> c(e1, e2);
+
+  uint32_t i = 0;
+  T xors[GROUP];
+  int bcode[GROUP];
+  while (i < n) {
+    uint32_t in_group = (n - i >= GROUP) ? GROUP : (n - i);
+    if (BITS == 32) {
+      if (end - p < 3) return -1;
+      uint32_t bc = (uint32_t(p[0]) << 16) | (uint32_t(p[1]) << 8) | p[2];
+      p += 3;
+      for (int k = 0; k < GROUP; ++k) bcode[k] = (bc >> (3 * k)) & 7;
+    } else {
+      if (end - p < 1) return -1;
+      bcode[0] = *p & 15;
+      bcode[1] = (*p >> 4) & 15;
+      ++p;
+    }
+    for (uint32_t k = 0; k < in_group; ++k) {
+      int b = bcode[k];
+      int len = (b <= FCM_MAX) ? b : b - FCM_MAX;
+      if (end - p < len) return -1;
+      T x = 0;
+      for (int q = 0; q < len; ++q) x = (x << 8) | *p++;
+      xors[k] = x;
+    }
+    // (pad slots of a tail group carry 1 zero byte each; we simply don't read
+    //  them — the substream size from the archive framing delimits the data,
+    //  but reference encoders do emit them, so skip over if present)
+    if (in_group < GROUP) {
+      for (uint32_t k = in_group; k < GROUP; ++k) {
+        int b = bcode[k];
+        int len = (b <= FCM_MAX) ? b : b - FCM_MAX;
+        if (end - p >= len) p += len;
+      }
+    }
+    for (uint32_t k = 0; k < in_group; ++k) {
+      T pred = (bcode[k] > FCM_MAX) ? c.pred2 : c.pred1;
+      T v = xors[k] ^ pred;
+      c.step_tables(v);
+      out[i + k] = v;
+    }
+    i += in_group;
+  }
+  return int64_t(p - in);
+}
+
+EXPORT int64_t tt_fp32_encode(const uint32_t* in, uint32_t n, uint32_t e1,
+                              uint32_t e2, uint8_t* out, int64_t cap) {
+  return fp_encode<uint32_t, 32>(in, n, e1, e2, out, cap);
+}
+EXPORT int64_t tt_fp64_encode(const uint64_t* in, uint32_t n, uint32_t e1,
+                              uint32_t e2, uint8_t* out, int64_t cap) {
+  return fp_encode<uint64_t, 64>(in, n, e1, e2, out, cap);
+}
+EXPORT int64_t tt_fp32_decode(const uint8_t* in, int64_t in_size, uint32_t* out,
+                              uint32_t cap_n, uint32_t* n_out) {
+  return fp_decode<uint32_t, 32>(in, in_size, out, cap_n, n_out);
+}
+EXPORT int64_t tt_fp64_decode(const uint8_t* in, int64_t in_size, uint64_t* out,
+                              uint32_t cap_n, uint32_t* n_out) {
+  return fp_decode<uint64_t, 64>(in, in_size, out, cap_n, n_out);
+}
+
+// ---------------------------------------------------------------- LZ4 block
+
+// Own implementation of the public LZ4 block format. Greedy hash-table match
+// finder with skip acceleration; emits standard token/literal/offset sequences.
+// Interoperates both ways with reference LZ4 block codecs.
+
+static constexpr int LZ_MINMATCH = 4;
+static constexpr int LZ_MFLIMIT = 12;      // last match must start 12B before end
+static constexpr int LZ_LASTLITERALS = 5;  // final 5 bytes are always literals
+static constexpr int LZ_HASH_LOG = 12;
+
+static inline uint32_t lz_hash(uint32_t seq) {
+  return (seq * 2654435761u) >> (32 - LZ_HASH_LOG);
+}
+
+EXPORT int64_t tt_lz4_bound(int64_t n) { return n + n / 255 + 16; }
+
+EXPORT int64_t tt_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                               int64_t cap) {
+  if (n < 0 || cap < tt_lz4_bound(n)) return -1;
+  uint8_t* op = dst;
+  const uint8_t* anchor = src;
+
+  auto emit_run = [&](const uint8_t* lit_start, int64_t lit_len, int64_t mlen,
+                      uint32_t offset) {
+    // token
+    uint8_t* token = op++;
+    int64_t l = lit_len;
+    if (l >= 15) {
+      *token = 15 << 4;
+      l -= 15;
+      while (l >= 255) {
+        *op++ = 255;
+        l -= 255;
+      }
+      *op++ = uint8_t(l);
+    } else {
+      *token = uint8_t(l) << 4;
+    }
+    std::memcpy(op, lit_start, lit_len);
+    op += lit_len;
+    if (mlen > 0) {
+      *op++ = uint8_t(offset);
+      *op++ = uint8_t(offset >> 8);
+      int64_t m = mlen - LZ_MINMATCH;
+      if (m >= 15) {
+        *token |= 15;
+        m -= 15;
+        while (m >= 255) {
+          *op++ = 255;
+          m -= 255;
+        }
+        *op++ = uint8_t(m);
+      } else {
+        *token |= uint8_t(m);
+      }
+    }
+  };
+
+  if (n >= LZ_MFLIMIT + 1) {
+    std::vector<int32_t> table(size_t(1) << LZ_HASH_LOG, -1);
+    const uint8_t* ip = src;
+    const uint8_t* match_limit = src + n - LZ_LASTLITERALS;
+    const uint8_t* mflimit = src + n - LZ_MFLIMIT;
+    ip++;  // position 0 has no possible match source
+    table[lz_hash(load32(src))] = 0;
+
+    uint32_t search_tries = 1 << 6;  // skip-acceleration counter
+    while (ip <= mflimit) {
+      uint32_t h = lz_hash(load32(ip));
+      int32_t cand = table[h];
+      table[h] = int32_t(ip - src);
+      if (cand >= 0 && (ip - src) - cand <= 65535 &&
+          load32(src + cand) == load32(ip)) {
+        search_tries = 1 << 6;  // reset acceleration after a match
+        const uint8_t* mp = src + cand;
+        // extend backwards over literals
+        while (ip > anchor && mp > src && ip[-1] == mp[-1]) {
+          --ip;
+          --mp;
+        }
+        // extend forwards
+        const uint8_t* q = ip + LZ_MINMATCH;
+        const uint8_t* r = mp + LZ_MINMATCH;
+        while (q < match_limit && *q == *r) {
+          ++q;
+          ++r;
+        }
+        int64_t mlen = q - ip;
+        emit_run(anchor, ip - anchor, mlen, uint32_t(ip - mp));
+        ip = q;
+        anchor = ip;
+        if (ip <= mflimit) {
+          // seed table at a couple of positions inside/after the match
+          table[lz_hash(load32(ip - 2))] = int32_t(ip - 2 - src);
+          table[lz_hash(load32(ip))] = int32_t(ip - src);
+        }
+        ++ip;
+      } else {
+        // no match: advance, accelerating through incompressible regions
+        ip += (search_tries++) >> 6;
+      }
+    }
+  }
+  // final literals
+  emit_run(anchor, (src + n) - anchor, 0, 0);
+  return op - dst;
+}
+
+EXPORT int64_t tt_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                                 int64_t cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  while (ip < iend) {
+    uint8_t token = *ip++;
+    // literals
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        lit += s;
+      } while (s == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, size_t(lit));
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence has no match
+    // match
+    if (ip + 2 > iend) return -1;
+    uint32_t offset = uint32_t(ip[0]) | (uint32_t(ip[1]) << 8);
+    ip += 2;
+    if (offset == 0 || op - dst < int64_t(offset)) return -1;
+    int64_t mlen = (token & 15) + LZ_MINMATCH;
+    if ((token & 15) == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        mlen += s;
+      } while (s == 255);
+    }
+    if (op + mlen > oend) return -1;
+    const uint8_t* mp = op - offset;
+    if (int64_t(offset) >= mlen) {
+      std::memcpy(op, mp, size_t(mlen));  // non-overlapping fast copy
+    } else {
+      for (int64_t k = 0; k < mlen; ++k) op[k] = mp[k];  // overlapping (RLE)
+    }
+    op += mlen;
+  }
+  return op - dst;
+}
+
+// ------------------------------------------------------- byte-plane shuffle
+
+EXPORT void tt_shuffle_bytes(const uint8_t* src, int64_t n_elems, int32_t width,
+                             uint8_t* dst) {
+  // dst[plane][i] = src[i*width + plane]  (AoS -> planar)
+  for (int32_t p = 0; p < width; ++p) {
+    uint8_t* d = dst + int64_t(p) * n_elems;
+    const uint8_t* s = src + p;
+    for (int64_t i = 0; i < n_elems; ++i) d[i] = s[i * width];
+  }
+}
+
+EXPORT void tt_unshuffle_bytes(const uint8_t* src, int64_t n_elems,
+                               int32_t width, uint8_t* dst) {
+  for (int32_t p = 0; p < width; ++p) {
+    const uint8_t* s = src + int64_t(p) * n_elems;
+    uint8_t* d = dst + p;
+    for (int64_t i = 0; i < n_elems; ++i) d[i * width] = s[i];
+  }
+}
