@@ -36,6 +36,7 @@ def get():
                 _REF / "trico/floating_point_stream_compression.c",
                 _REF / "trico/transpose_aos_to_soa.c",
                 _REF / "lz4/lz4.c",
+                _REF / "trico_io/iostl.c",
             ]
             cmd = ["gcc", "-O2", "-fPIC", "-shared", f"-I{_REF}"] + [str(s) for s in srcs] + ["-o", str(_SO)]
             subprocess.run(cmd, check=True, capture_output=True)

@@ -1,0 +1,141 @@
+"""Command-line encoder/decoder, feature parity with the reference tools
+(``tools/trico_encoder/main.c``, ``tools/trico_decoder/main.c``).
+
+Flags:
+  encoder: -i <input.stl|.ply> [-o out.trc] [-stladd normal|uint16]
+           [-plyskip normal|tex_coord|color]
+  decoder: -i <input.trc> [-o out.stl|.ply]
+
+Deliberate fix of reference quirk #3 (SURVEY.md): ``-stladd`` options control
+the STL attributes and ``-plyskip`` the PLY attributes (the reference
+cross-wires them, trico_encoder/main.c:144-191).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .archive import ArchiveReader, ArchiveWriter, StreamType
+from .io import ply, stl
+
+
+def _default_output(path: Path, ext: str) -> Path:
+    return path.with_suffix(ext)
+
+
+def encoder_main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="trico_encoder",
+        description="Compress a binary STL or PLY mesh into a trico archive.",
+    )
+    ap.add_argument("-i", dest="input", required=True, help="input .stl or .ply file")
+    ap.add_argument("-o", dest="output", help="output file name (default: input with .trc)")
+    ap.add_argument("-stladd", action="append", default=[], choices=["normal", "uint16"],
+                    help="also store the given STL attribute")
+    ap.add_argument("-plyskip", action="append", default=[], choices=["normal", "tex_coord", "color"],
+                    help="skip the given PLY attribute")
+    ap.add_argument("--backend", default="auto", choices=["auto", "native", "numpy", "jax"],
+                    help="codec backend (default auto: native, falling back to numpy)")
+    args = ap.parse_args(argv)
+
+    inp = Path(args.input)
+    out = Path(args.output) if args.output else _default_output(inp, ".trc")
+    ext = inp.suffix.lower()
+    if ext not in (".stl", ".ply"):
+        print("I expect the input file to be of type stl or ply.", file=sys.stderr)
+        return 1
+
+    use_native = args.backend in ("auto", "native")
+    if args.backend == "jax":
+        from .parallel.mesh_codec import encode_mesh_file
+
+        encode_mesh_file(inp, out)
+        return 0
+
+    w = ArchiveWriter(use_native=use_native)
+    if ext == ".stl":
+        full = bool(args.stladd)
+        if full:
+            verts, tris, tri_normals, attrs = stl.read_stl(inp, full=True)
+        else:
+            verts, tris = stl.read_stl(inp)
+            tri_normals = attrs = None
+        if len(verts):
+            w.write_vertices(verts)
+        if len(tris):
+            w.write_triangles(tris)
+        if "normal" in args.stladd and tri_normals is not None and len(tris):
+            w.write_triangle_normals(tri_normals)
+        if "uint16" in args.stladd and attrs is not None and len(tris):
+            w.write_attributes_uint16(attrs)
+    else:
+        mesh = ply.read_ply(inp)
+        if mesh.vertices is not None and len(mesh.vertices):
+            w.write_vertices(mesh.vertices)
+        if mesh.triangles is not None and len(mesh.triangles):
+            w.write_triangles(mesh.triangles)
+        if "normal" not in args.plyskip and mesh.vertex_normals is not None:
+            w.write_vertex_normals(mesh.vertex_normals)
+        if "color" not in args.plyskip and mesh.vertex_colors is not None:
+            w.write_vertex_colors(mesh.vertex_colors)
+        if "tex_coord" not in args.plyskip and mesh.texcoords is not None:
+            w.write_uv_per_triangle(mesh.texcoords)
+    w.save(out)
+    return 0
+
+
+def decoder_main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="trico_decoder",
+        description="Decompress a trico archive back to STL or PLY.",
+    )
+    ap.add_argument("-i", dest="input", required=True, help="input .trc file")
+    ap.add_argument("-o", dest="output", help="output .stl or .ply (default: by content)")
+    args = ap.parse_args(argv)
+
+    data = Path(args.input).read_bytes()
+    r = ArchiveReader(data)
+    verts = tris = tri_normals = vert_normals = colors = uvs = attrs16 = None
+    while r.next_stream_type != StreamType.empty:
+        st, arr = r.read_stream()
+        if st == StreamType.vertex_float:
+            verts = arr
+        elif st == StreamType.triangle_uint32:
+            tris = arr
+        elif st == StreamType.triangle_normal_float:
+            tri_normals = arr
+        elif st == StreamType.vertex_normal_float:
+            vert_normals = arr
+        elif st == StreamType.vertex_color:
+            colors = arr
+        elif st == StreamType.uv_per_triangle_float:
+            uvs = arr.reshape(-1, 6)
+        elif st == StreamType.attribute_uint16:
+            attrs16 = arr
+        # other stream kinds are skipped, like the reference decoder
+
+    if verts is None:
+        print("Archive contains no vertices.", file=sys.stderr)
+        return 1
+
+    if args.output:
+        out = Path(args.output)
+        want_ply = out.suffix.lower() == ".ply"
+    else:
+        # content-based choice (trico_decoder/main.c:414-437)
+        want_ply = colors is not None or uvs is not None or vert_normals is not None
+        out = _default_output(Path(args.input), ".ply" if want_ply else ".stl")
+
+    if want_ply:
+        ply.write_ply(out, verts, vert_normals, colors, tris, uvs)
+    else:
+        if tris is None:
+            tris = np.zeros((0, 3), np.uint32)
+        if tri_normals is None and len(tris):
+            tri_normals = stl.compute_triangle_normals(verts, tris)
+        stl.write_stl(out, verts, tris, tri_normals, attrs16)
+    return 0
