@@ -3,6 +3,7 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("TRICO_TPU_SCAN_UNROLL", "1")  # fast compiles on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,77 @@
+"""TPU chunk-parallel FP codec tests (run on CPU backend via conftest).
+
+Each chunk payload must be bit-identical to the scalar oracle encoding of that
+chunk — chunking is a framing concept, not a format change. Both packing paths
+(native host packer and all-device sort compaction) and both decode paths
+(native parse + device replay, all-device) are covered.
+"""
+
+import numpy as np
+import pytest
+
+from trico_tpu import native
+from trico_tpu.codec import fp_jax, fp_ref
+from conftest import mesh_like_floats
+
+
+@pytest.mark.parametrize("L", [8, 64, 256])
+@pytest.mark.parametrize("e", [(4, 10), (2, 6), (4, 8)])
+def test_chunk_payloads_match_oracle(L, e):
+    C = 7
+    vals = mesh_like_floats(C * L, seed=L).view(np.uint32)
+    out, sizes, tail = fp_jax.encode_f32(vals, L, *e)
+    assert len(tail) == 0
+    for c in range(C):
+        expect = fp_ref.compress(vals[c * L : (c + 1) * L], *e)
+        got = out[c, : sizes[c]].tobytes()
+        assert got == expect, f"chunk {c} differs"
+
+
+@pytest.mark.parametrize("e", [(4, 10), (4, 8)])
+def test_device_pack_matches_native_pack(e):
+    L, C = 64, 9
+    vals = mesh_like_floats(C * L, seed=1).view(np.uint32)
+    out_host, sizes_host, _ = fp_jax.encode_f32(vals, L, *e, device_pack=False)
+    out_dev, sizes_dev, _ = fp_jax.encode_f32(vals, L, *e, device_pack=True)
+    np.testing.assert_array_equal(sizes_host, sizes_dev)
+    np.testing.assert_array_equal(out_host, out_dev)
+
+
+def test_random_bits_chunks():
+    r = np.random.default_rng(0)
+    vals = r.integers(0, 2**32, 16 * 128, dtype=np.uint32)
+    out, sizes, _ = fp_jax.encode_f32(vals, 128)
+    for c in range(16):
+        expect = fp_ref.compress(vals[c * 128 : (c + 1) * 128], 4, 10)
+        assert out[c, : sizes[c]].tobytes() == expect
+
+
+@pytest.mark.parametrize("L", [8, 64, 256])
+@pytest.mark.parametrize("device_parse", [False, True])
+def test_decode_roundtrip(L, device_parse):
+    C = 5
+    vals = mesh_like_floats(C * L, seed=L + 1).view(np.uint32)
+    out, sizes, _ = fp_jax.encode_f32(vals, L)
+    dec = fp_jax.decode_f32(out, L, device_parse=device_parse)
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_decode_oracle_encoded_chunks():
+    """Decoder must accept chunks produced by the scalar oracle (format parity)."""
+    L, C = 64, 4
+    vals = mesh_like_floats(C * L, seed=9).view(np.uint32)
+    B = fp_jax.f32_max_chunk_bytes(L)
+    payloads = np.zeros((C, B), np.uint8)
+    for c in range(C):
+        blob = np.frombuffer(fp_ref.compress(vals[c * L : (c + 1) * L], 4, 10), np.uint8)
+        payloads[c, : len(blob)] = blob
+    for device_parse in (False, True):
+        dec = fp_jax.decode_f32(payloads, L, device_parse=device_parse)
+        np.testing.assert_array_equal(dec, vals)
+
+
+def test_tail_returned():
+    vals = mesh_like_floats(1000, seed=3).view(np.uint32)
+    out, sizes, tail = fp_jax.encode_f32(vals, 256)
+    assert out.shape[0] == 3
+    np.testing.assert_array_equal(tail, vals[768:])

@@ -1,0 +1,360 @@
+"""TPU-native (JAX/XLA) chunk-parallel FCM/DFCM floating-point codec.
+
+The stream is split into fixed-length chunks; each chunk is an independent
+codec instance with fresh predictor state, exactly like the reference isolates
+its x/y/z substreams (trico.c:231-253). Each chunk's payload is a standard,
+self-describing reference FP substream (format notes in fp_ref.py), so chunks
+are decodable by any trico-compatible decoder; the container framing lives in
+:mod:`trico_tpu.chunked`.
+
+TPU mapping (measured on v5e):
+
+* The predictor recurrence is *sequential within a chunk* but embarrassingly
+  parallel across chunks. We lay data out as (L, C) — positions along the
+  sequential axis, chunks along the 128-wide lane axis — and run one
+  ``lax.scan`` over positions with the hash tables carried as (C, T) arrays.
+  Table reads/writes are one-hot compare/select ops over the small table
+  axis: pure VPU work, no gather/scatter (both are slow on TPU).
+* Byte packing (variable-length residual emission) has two paths:
+  - host path: the native C++ packer (``tt_fp32_pack_chunks``) marshals
+    (bcode, residual) arrays at memory bandwidth — used by the production
+    numpy-facing API;
+  - device path: a single 2-operand ``lax.sort`` per chunk row compacts
+    (destination, byte) pairs — sorts are the one fast reordering primitive
+    on TPU (vmapped searchsorted measured 200x slower).
+* Decode parses tags with a scan over groups, then replays the predictors
+  with the same one-hot table scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LEN32_NP = np.array([0, 1, 2, 3, 4, 1, 2, 3], dtype=np.int32)
+# scan unroll factor: 8 is fastest on TPU v5e (measured); CPU tests use 1 for
+# quick compiles
+import os as _os
+_SCAN_UNROLL = int(_os.environ.get("TRICO_TPU_SCAN_UNROLL", "8"))
+
+
+def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
+    return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
+
+
+def f32_max_chunk_bytes(L: int) -> int:
+    assert L % 8 == 0
+    return 5 + 3 * (L // 8) + 4 * L
+
+
+# ---------------------------------------------------------------------------
+# predictor scan (shared by encode and decode replay)
+# ---------------------------------------------------------------------------
+
+
+def _onehot_read(table, idx, iota):
+    """table: (C, T), idx: (C,) → (C,). Compare/select + reduce; no gather."""
+    return jnp.sum(jnp.where(iota == idx[:, None], table, 0), axis=1)
+
+
+def _onehot_write(table, idx, val, iota):
+    return jnp.where(iota == idx[:, None], val[:, None], table)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def predict_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
+    """Compute (bcode, residual) for (C, L) uint32 chunks, all on device.
+
+    Returns (bcode (C, L) uint8, res (C, L) uint32). Packing these into the
+    byte stream is a separate step (host packer or :func:`pack_f32_chunks`).
+    """
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = values.shape
+    T1, T2 = 1 << e1, 1 << e2
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jnp.arange(T1, dtype=jnp.uint32)[None, :]
+    iota2 = jnp.arange(T2, dtype=jnp.uint32)[None, :]
+    vT = values.T  # (L, C): lanes = chunks
+
+    def step(carry, v):
+        t1, t2, h1, h2, pred1, pred2, last = carry
+        xor1 = v ^ pred1
+        xor2 = v ^ (last + pred2)
+        t1 = _onehot_write(t1, h1, v, iota1)
+        h1n = v >> (32 - e1) if e1 else h1
+        pred1 = _onehot_read(t1, h1n, iota1)
+        stride = v - last
+        t2 = _onehot_write(t2, h2, stride, iota2)
+        h2n = ((h2 << (e2 // 2)) ^ (stride >> (32 - e2))) & m2 if e2 else h2
+        pred2 = _onehot_read(t2, h2n, iota2)
+        return (t1, t2, h1n, h2n, pred1, pred2, v), (xor1, xor2)
+
+    z = jnp.zeros((C,), jnp.uint32)
+    carry0 = (
+        jnp.zeros((C, T1), jnp.uint32),
+        jnp.zeros((C, T2), jnp.uint32),
+        z, z, z, z, z,
+    )
+    _, (xor1T, xor2T) = jax.lax.scan(step, carry0, vT, unroll=_SCAN_UNROLL)
+    xor1, xor2 = xor1T.T, xor2T.T  # (C, L)
+
+    nb1 = jnp.where(
+        xor1 == 0, 0,
+        jnp.where(xor1 >> 8 == 0, 1,
+                  jnp.where(xor1 >> 16 == 0, 2,
+                            jnp.where(xor1 >> 24 == 0, 3, 4))),
+    ).astype(jnp.int32)
+    nb2 = jnp.where(
+        xor2 >> 8 == 0, 1,
+        jnp.where(xor2 >> 16 == 0, 2, jnp.where(xor2 >> 24 == 0, 3, 4)),
+    ).astype(jnp.int32)
+    use_dfcm = (nb1 >= 2) & (nb2 < nb1)
+    bcode = jnp.where(use_dfcm, 4 + nb2, nb1)
+    res = jnp.where(use_dfcm, xor2, xor1)
+    return bcode.astype(jnp.uint8), res
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10):
+    """All-device byte packing: (C, L) (bcode, res) → ((C, B) uint8, (C,) sizes).
+
+    Sort-based stream compaction: every candidate byte (header, tag, residual)
+    gets a destination offset; one stable 2-operand sort per row orders them.
+    """
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = bcode.shape
+    G = L // 8
+    B = f32_max_chunk_bytes(L)
+    bcode = bcode.astype(jnp.int32)
+    length = jnp.asarray(_LEN32_NP)[bcode]  # (C, L)
+
+    cum = jnp.cumsum(length, axis=1)
+    res_before = cum - length
+    grp = jnp.arange(L, dtype=jnp.int32) // 8
+    data_off = 5 + 3 * (grp + 1) + res_before
+    tag_off = 5 + 3 * jnp.arange(G, dtype=jnp.int32) + res_before[:, ::8]
+    total = 5 + 3 * G + cum[:, -1]
+
+    # tag bytes (big-endian 24-bit of eight 3-bit codes, slot 0 in low bits)
+    bc_mat = bcode.reshape(C, G, 8)
+    shifts = (3 * jnp.arange(8, dtype=jnp.int32)).reshape(1, 1, 8)
+    tag24 = jnp.sum(bc_mat << shifts, axis=2)
+    tag_bytes = jnp.stack(
+        [(tag24 >> 16) & 0xFF, (tag24 >> 8) & 0xFF, tag24 & 0xFF], axis=2
+    )  # (C, G, 3)
+    tag_dest = tag_off[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :]
+
+    # residual bytes (big-endian, low `length` bytes)
+    k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
+    res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.int32)
+    res_valid = k < length[:, :, None]
+    res_dest = jnp.where(res_valid, data_off[:, :, None] + k, B)
+
+    # header bytes
+    hdr_vals = jnp.array(
+        [((e1 >> 1) << 4) | (e2 >> 1), (L >> 24) & 0xFF, (L >> 16) & 0xFF,
+         (L >> 8) & 0xFF, L & 0xFF],
+        dtype=jnp.int32,
+    )
+    hdr_dest = jnp.arange(5, dtype=jnp.int32)
+
+    dest = jnp.concatenate(
+        [
+            jnp.broadcast_to(hdr_dest, (C, 5)),
+            tag_dest.reshape(C, 3 * G),
+            res_dest.reshape(C, 4 * L),
+        ],
+        axis=1,
+    )  # (C, S) with S == B
+    byte = jnp.concatenate(
+        [
+            jnp.broadcast_to(hdr_vals, (C, 5)),
+            tag_bytes.reshape(C, 3 * G),
+            res_bytes.reshape(C, 4 * L),
+        ],
+        axis=1,
+    )
+    _, out = jax.lax.sort((dest, byte), num_keys=1, is_stable=True)
+    pos = jnp.arange(B, dtype=jnp.int32)[None, :]
+    out = jnp.where(pos < total[:, None], out, 0)
+    return out.astype(jnp.uint8), total.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def encode_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
+    """All-device encode: (C, L) uint32 → ((C, B) uint8 payloads, (C,) sizes).
+
+    Each row is a complete reference-format FP substream for that chunk,
+    zero-padded to B = ``f32_max_chunk_bytes(L)``.
+    """
+    bcode, res = predict_f32_chunks(values, e1, e2)
+    return pack_f32_chunks(bcode, res, e1, e2)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def replay_f32_chunks(bcodes: jax.Array, xors: jax.Array, e1: int = 4, e2: int = 10):
+    """Replay predictors over parsed (C, L) (bcode, xor) → (C, L) uint32 values."""
+    return _replay_impl(bcodes, xors, e1, e2)
+
+
+def _replay_impl(bcodes, xors, e1, e2):
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = xors.shape
+    T1, T2 = 1 << e1, 1 << e2
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jnp.arange(T1, dtype=jnp.uint32)[None, :]
+    iota2 = jnp.arange(T2, dtype=jnp.uint32)[None, :]
+
+    def step(carry, inp):
+        t1, t2, h1, h2, pred1, pred2, last = carry
+        xor, bc = inp
+        pred = jnp.where(bc > 4, last + pred2, pred1)
+        v = xor ^ pred
+        t1 = _onehot_write(t1, h1, v, iota1)
+        h1n = v >> (32 - e1) if e1 else h1
+        pred1 = _onehot_read(t1, h1n, iota1)
+        stride = v - last
+        t2 = _onehot_write(t2, h2, stride, iota2)
+        h2n = ((h2 << (e2 // 2)) ^ (stride >> (32 - e2))) & m2 if e2 else h2
+        pred2 = _onehot_read(t2, h2n, iota2)
+        return (t1, t2, h1n, h2n, pred1, pred2, v), v
+
+    z = jnp.zeros((C,), jnp.uint32)
+    carry0 = (
+        jnp.zeros((C, T1), jnp.uint32),
+        jnp.zeros((C, T2), jnp.uint32),
+        z, z, z, z, z,
+    )
+    _, valsT = jax.lax.scan(
+        step,
+        carry0,
+        (xors.T, bcodes.astype(jnp.uint32).T),
+        unroll=_SCAN_UNROLL,
+    )
+    return valsT.T
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def decode_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
+    """All-device decode of (C, B) uint8 reference-format chunk payloads.
+
+    Phase 1 parses tags with a scan over the L/8 groups (the tag position of
+    group g+1 depends on group g's residual lengths); phase 2 replays the
+    predictors. Used for tests and the multichip dryrun; the production
+    numpy-facing path parses on the host (native) and replays on device.
+    """
+    C, B = payloads.shape
+    assert L % 8 == 0
+    G = L // 8
+    p32 = payloads.astype(jnp.uint32)
+    lens_tab = jnp.asarray(_LEN32_NP)
+
+    def parse_group(pos, _):
+        def at(ofs):
+            return jnp.take_along_axis(p32, (pos + ofs)[:, None], axis=1)[:, 0]
+
+        tag = (at(0) << 16) | (at(1) << 8) | at(2)
+        bcodes = (tag[:, None] >> (3 * jnp.arange(8, dtype=jnp.uint32))[None, :]) & 7
+        lens = lens_tab[bcodes.astype(jnp.int32)]
+        starts = pos[:, None] + 3 + (jnp.cumsum(lens, axis=1) - lens)
+        return pos + 3 + jnp.sum(lens, axis=1), (bcodes.astype(jnp.int32), lens, starts)
+
+    pos0 = jnp.full((C,), 5, dtype=jnp.int32)
+    _, (bcodes_g, lens_g, starts_g) = jax.lax.scan(parse_group, pos0, None, length=G)
+    bcodes = jnp.transpose(bcodes_g, (1, 0, 2)).reshape(C, L)
+    lens = jnp.transpose(lens_g, (1, 0, 2)).reshape(C, L)
+    starts = jnp.transpose(starts_g, (1, 0, 2)).reshape(C, L)
+
+    k = jnp.arange(4, dtype=jnp.int32)
+    idx = jnp.clip(starts[:, :, None] + k[None, None, :], 0, B - 1)
+    bytes4 = jnp.take_along_axis(p32, idx.reshape(C, -1), axis=1).reshape(C, L, 4)
+    shift = (8 * jnp.clip(lens[:, :, None] - 1 - k[None, None, :], 0, 3)).astype(jnp.uint32)
+    valid = k[None, None, :] < lens[:, :, None]
+    xors = jnp.sum(jnp.where(valid, bytes4 << shift, 0), axis=2).astype(jnp.uint32)
+
+    return _replay_impl(bcodes.astype(jnp.uint8), xors, e1, e2)
+
+
+# ---------------------------------------------------------------------------
+# numpy-facing wrappers (production path: device predict + native host pack)
+# ---------------------------------------------------------------------------
+
+
+def _native():
+    from .. import native
+
+    return native if native.available() else None
+
+
+def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
+               device_pack: bool = False):
+    """Encode a flat uint32 stream in TPU chunks.
+
+    Returns (payloads (C, B) uint8, sizes (C,) int64, tail_values). The tail
+    (n % chunk_len values) is left for the caller's host codec.
+    """
+    import ctypes
+
+    e1, e2 = _norm_exponents(e1, e2)
+    n = len(values_u32)
+    C = n // chunk_len
+    tail = values_u32[C * chunk_len:]
+    B = f32_max_chunk_bytes(chunk_len)
+    if C == 0:
+        return np.zeros((0, B), np.uint8), np.zeros(0, np.int64), tail
+    chunks = values_u32[: C * chunk_len].reshape(C, chunk_len)
+    nat = _native()
+    if device_pack or nat is None:
+        out, sizes = encode_f32_chunks(jnp.asarray(chunks), e1, e2)
+        return np.asarray(out), np.asarray(sizes, dtype=np.int64), tail
+    bcode, res = predict_f32_chunks(jnp.asarray(chunks), e1, e2)
+    bcode_np = np.ascontiguousarray(np.asarray(bcode))
+    res_np = np.ascontiguousarray(np.asarray(res))
+    out = np.zeros((C, B), dtype=np.uint8)
+    sizes = np.zeros(C, dtype=np.int32)
+    rc = nat.get_lib().tt_fp32_pack_chunks(
+        bcode_np.ctypes.data_as(ctypes.c_void_p),
+        res_np.ctypes.data_as(ctypes.c_void_p),
+        C, chunk_len, e1, e2,
+        out.ctypes.data_as(ctypes.c_void_p), B,
+        sizes.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise RuntimeError("native pack failed")
+    return out, sizes.astype(np.int64), tail
+
+
+def decode_f32(payloads: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
+               device_parse: bool = False) -> np.ndarray:
+    """Decode (C, B) padded chunk payloads → flat uint32 values."""
+    import ctypes
+
+    e1, e2 = _norm_exponents(e1, e2)
+    C, B = payloads.shape
+    if C == 0:
+        return np.zeros(0, np.uint32)
+    nat = _native()
+    if device_parse or nat is None:
+        out = decode_f32_chunks(jnp.asarray(payloads), chunk_len, e1, e2)
+        return np.asarray(out).reshape(-1)
+    payloads = np.ascontiguousarray(payloads)
+    bcodes = np.zeros((C, chunk_len), np.uint8)
+    xors = np.zeros((C, chunk_len), np.uint32)
+    rc = nat.get_lib().tt_fp32_parse_chunks(
+        payloads.ctypes.data_as(ctypes.c_void_p), C, B, chunk_len,
+        bcodes.ctypes.data_as(ctypes.c_void_p),
+        xors.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise RuntimeError("native parse failed")
+    vals = replay_f32_chunks(jnp.asarray(bcodes), jnp.asarray(xors), e1, e2)
+    return np.asarray(vals).reshape(-1)

@@ -235,6 +235,69 @@ EXPORT int64_t tt_fp64_decode(const uint8_t* in, int64_t in_size, uint64_t* out,
   return fp_decode<uint64_t, 64>(in, in_size, out, cap_n, n_out);
 }
 
+// ------------------------------------------------- chunked pack / parse
+//
+// The TPU path computes per-value (bcode, residual) on device (the predictor
+// math); these helpers do the byte-level (de)marshalling on the host at memory
+// bandwidth. Each chunk payload is a standard FP substream.
+
+EXPORT int64_t tt_fp32_pack_chunks(const uint8_t* bcodes, const uint32_t* res,
+                                   int64_t C, int64_t L, uint32_t e1,
+                                   uint32_t e2, uint8_t* out, int64_t stride,
+                                   int32_t* sizes) {
+  if (L % 8 != 0) return -1;
+  e1 = (e1 >> 1) << 1;
+  if (e1 > 30) e1 = 30;
+  e2 = (e2 >> 1) << 1;
+  if (e2 > 30) e2 = 30;
+  for (int64_t c = 0; c < C; ++c) {
+    const uint8_t* bc = bcodes + c * L;
+    const uint32_t* rs = res + c * L;
+    uint8_t* p = out + c * stride;
+    uint8_t* p0 = p;
+    *p++ = uint8_t(((e1 >> 1) << 4) | (e2 >> 1));
+    put_be(p, uint32_t(L), 4);
+    for (int64_t g = 0; g < L / 8; ++g) {
+      uint32_t tag = 0;
+      for (int k = 0; k < 8; ++k) tag |= uint32_t(bc[g * 8 + k]) << (3 * k);
+      *p++ = uint8_t(tag >> 16);
+      *p++ = uint8_t(tag >> 8);
+      *p++ = uint8_t(tag);
+      for (int k = 0; k < 8; ++k) {
+        int b = bc[g * 8 + k];
+        int len = (b <= 4) ? b : b - 4;
+        put_be(p, rs[g * 8 + k], len);
+      }
+    }
+    sizes[c] = int32_t(p - p0);
+  }
+  return 0;
+}
+
+EXPORT int64_t tt_fp32_parse_chunks(const uint8_t* in, int64_t C,
+                                    int64_t stride, int64_t L, uint8_t* bcodes,
+                                    uint32_t* xors) {
+  if (L % 8 != 0) return -1;
+  for (int64_t c = 0; c < C; ++c) {
+    const uint8_t* p = in + c * stride + 5;  // skip hash_info + count
+    uint8_t* bc = bcodes + c * L;
+    uint32_t* xr = xors + c * L;
+    for (int64_t g = 0; g < L / 8; ++g) {
+      uint32_t tag = (uint32_t(p[0]) << 16) | (uint32_t(p[1]) << 8) | p[2];
+      p += 3;
+      for (int k = 0; k < 8; ++k) {
+        int b = (tag >> (3 * k)) & 7;
+        bc[g * 8 + k] = uint8_t(b);
+        int len = (b <= 4) ? b : b - 4;
+        uint32_t x = 0;
+        for (int q = 0; q < len; ++q) x = (x << 8) | *p++;
+        xr[g * 8 + k] = x;
+      }
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------- LZ4 block
 
 // Own implementation of the public LZ4 block format. Greedy hash-table match
