@@ -4,6 +4,9 @@ import os
 # exercised without TPU hardware (the driver separately dry-runs multichip).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("TRICO_TPU_SCAN_UNROLL", "1")  # fast compiles on CPU
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/trico_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,79 @@
+"""Chunked container + v1 archive tests (CPU backend)."""
+
+import numpy as np
+import pytest
+
+from trico_tpu import chunked
+from trico_tpu.archive import ArchiveReader, ArchiveWriter
+from conftest import mesh_like_floats
+
+
+@pytest.mark.parametrize("n", [0, 5, 4096, 4100, 10000])
+@pytest.mark.parametrize("bits", [32, 64])
+def test_container_roundtrip(n, bits):
+    dt = np.float32 if bits == 32 else np.float64
+    vals = mesh_like_floats(n, seed=n, dtype=dt).view(np.uint32 if bits == 32 else np.uint64)
+    blob = chunked.encode_chunked(vals, chunk_len=1024)
+    out, got_bits = chunked.decode_chunked(blob)
+    assert got_bits == bits
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_tpu_and_host_paths_bitwise_identical():
+    vals = mesh_like_floats(5000, seed=1).view(np.uint32)
+    a = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True)  # jax (cpu backend)
+    b = chunked.encode_chunked(vals, chunk_len=512, use_tpu=False)  # host codec
+    assert a == b
+
+
+def test_ratio_cost_of_chunking(bunny_vertices):
+    """Chunk warm-up should cost only a few percent on real mesh data."""
+    x = np.ascontiguousarray(bunny_vertices[:, 0]).view(np.uint32)
+    from trico_tpu.codec import fp_ref
+
+    full = len(fp_ref.compress(x, 4, 10))
+    ch = len(chunked.encode_chunked(x, chunk_len=4096, use_tpu=False))
+    assert ch < full * 1.06, (ch, full)
+
+
+def test_v1_archive_all_fp_stream_kinds():
+    rng = np.random.default_rng(0)
+    n = 3000
+    verts = np.stack([mesh_like_floats(n, s) for s in (1, 2, 3)], axis=1)
+    verts64 = verts.astype(np.float64)
+    uv = verts[:, :2].copy()
+    attrs = mesh_like_floats(n, 4)
+    tris = rng.integers(0, n, (n, 3)).astype(np.uint32)
+
+    w = ArchiveWriter(chunk_len=1024)
+    w.write_vertices(verts)
+    w.write_vertices_double(verts64)
+    w.write_uv_per_vertex(uv)
+    w.write_attributes_float(attrs)
+    w.write_triangles(tris)
+    blob = w.tobytes()
+
+    r = ArchiveReader(blob)
+    assert r.version == 1
+    np.testing.assert_array_equal(r.read_vertices(), verts)
+    np.testing.assert_array_equal(r.read_vertices_double(), verts64)
+    np.testing.assert_array_equal(r.read_uv_per_vertex(), uv)
+    np.testing.assert_array_equal(r.read_attributes_float(), attrs)
+    np.testing.assert_array_equal(r.read_triangles(), tris)
+
+
+def test_v1_archive_skip():
+    w = ArchiveWriter(chunk_len=256)
+    w.write_vertices(np.zeros((1000, 3), np.float32))
+    w.write_attributes_uint8(np.arange(5, dtype=np.uint8))
+    r = ArchiveReader(w.tobytes())
+    r.skip_next_stream()
+    np.testing.assert_array_equal(r.read_attributes_uint8(), np.arange(5, dtype=np.uint8))
+
+
+def test_bad_version_rejected():
+    import struct
+
+    blob = struct.pack("<II", 0x6F637254, 7)
+    with pytest.raises(ValueError):
+        ArchiveReader(blob)

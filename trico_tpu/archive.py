@@ -92,15 +92,31 @@ def _backends(use_native: bool = True):
 
 
 class ArchiveWriter:
-    """Builds a reference-compatible trico archive in memory.
+    """Builds a trico archive in memory.
 
     Mirrors the ``trico_open_archive_for_writing`` / ``trico_write_*`` /
     ``trico_get_buffer_pointer`` flow (trico.h:36-62) with a pythonic API.
+
+    With ``chunk_len`` set, writes a *version-1* archive whose FP substream
+    payloads are chunked containers (trico_tpu/chunked.py) — parallel-codec
+    friendly, not readable by the reference library. Default (None) writes
+    reference-compatible version-0 archives.
     """
 
-    def __init__(self, use_native: bool = True):
+    def __init__(self, use_native: bool = True, chunk_len: int | None = None):
         self._fp_enc, _, self._lz4_c, _ = _backends(use_native)
-        self._parts: list[bytes] = [struct.pack("<II", MAGIC, VERSION)]
+        self._chunk_len = chunk_len
+        version = 1 if chunk_len else VERSION
+        self._parts: list[bytes] = [struct.pack("<II", MAGIC, version)]
+        if chunk_len:
+            from . import chunked as _chunked
+
+            cl = chunk_len
+
+            def _enc(vals, e1, e2):
+                return _chunked.encode_chunked(vals, cl, e1, e2)
+
+            self._fp_enc = _enc
 
     # -- low-level helpers -------------------------------------------------
 
@@ -264,6 +280,7 @@ class ArchiveReader:
 
     def __init__(self, data, use_native: bool = True):
         _, self._fp_dec, _, self._lz4_d = _backends(use_native)
+        plain_dec = self._fp_dec
         self._data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
         if len(self._data) < 8:
             raise ValueError("not a trico archive (truncated header)")
@@ -271,6 +288,18 @@ class ArchiveReader:
         if magic != MAGIC:
             raise ValueError("not a trico archive (bad magic)")
         self.version = version
+        if version == 1:
+            from . import chunked as _chunked
+
+            def _dec(payload, bits):
+                vals, got_bits = _chunked.decode_chunked(payload)
+                if got_bits != bits:
+                    raise ValueError("chunked container width mismatch")
+                return vals
+
+            self._fp_dec = _dec
+        elif version != 0:
+            raise ValueError(f"unsupported archive version {version}")
         self._pos = 8
         self._advance_stream_type()
 

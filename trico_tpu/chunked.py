@@ -1,0 +1,141 @@
+"""Chunked FP substream container — the v1 format extension for parallel codecs.
+
+A version-1 trico-tpu archive replaces each plain FP substream payload with:
+
+``[u8 container_version=1][u8 flags][u32 LE chunk_len][u32 LE total_count]``
+``[u32 LE n_chunks][n_chunks x u32 LE chunk_size][concatenated chunk payloads]``
+
+flags bit 0: element width (0 = f32, 1 = f64).
+
+Every chunk payload is a *standard reference FP substream* (hash_info byte,
+big-endian count, tagged groups — see fp_ref.py) holding ``chunk_len`` values,
+except the final chunk which holds the remainder. Chunks are independent codec
+instances, so encode and decode are embarrassingly parallel across chunks —
+this is what the TPU kernels (fp_jax.py) and the multi-chip path
+(trico_tpu/parallel) exploit. The framing is self-describing and skippable,
+preserving the archive property that any stream can be skipped without
+decoding (SURVEY.md §5 checkpoint/resume notes).
+
+Warm-up cost: each chunk restarts its predictor tables, costing a little ratio
+(measured ~2-4% on mesh data at chunk_len=4096) — the same trade the reference
+already makes per substream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codec import fp_ref
+
+DEFAULT_CHUNK_LEN = 4096
+
+
+def _host_fp_encode(vals, e1, e2):
+    from . import native
+
+    if native.available():
+        return native.fp_encode(vals, e1, e2)
+    return fp_ref.compress(vals, e1, e2)
+
+
+def _host_fp_decode(payload, bits):
+    from . import native
+
+    if native.available():
+        return native.fp_decode(payload, bits)
+    return fp_ref.decompress_f32(payload) if bits == 32 else fp_ref.decompress_f64(payload)
+
+
+def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
+                   e1: int | None = None, e2: int | None = None,
+                   use_tpu: bool | None = None) -> bytes:
+    """Encode a uint32/uint64 raw-bits stream into a chunked container.
+
+    f32 full chunks go through the TPU path (``fp_jax``) when a non-CPU JAX
+    backend is available (or when ``use_tpu=True``); everything else uses the
+    host codec. Output bytes are identical either way.
+    """
+    if values.dtype == np.uint32:
+        bits = 32
+        if e1 is None:
+            e1, e2 = 4, 10
+    elif values.dtype == np.uint64:
+        bits = 64
+        if e1 is None:
+            e1, e2 = 20, 20
+    else:
+        raise TypeError(values.dtype)
+    if bits == 32:
+        chunk_len = (chunk_len // 8) * 8 or 8
+    n = len(values)
+    n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
+
+    payloads: list[bytes] = []
+    if bits == 32 and n >= chunk_len:
+        if use_tpu is None:
+            import jax
+
+            use_tpu = jax.default_backend() != "cpu"
+        if use_tpu:
+            from .codec import fp_jax
+
+            mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2)
+            payloads = [mat[c, : sizes[c]].tobytes() for c in range(len(sizes))]
+            if len(tail):
+                payloads.append(_host_fp_encode(tail, e1, e2))
+    if not payloads:
+        for i in range(n_chunks):
+            payloads.append(_host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2))
+
+    flags = 0 if bits == 32 else 1
+    head = struct.pack("<BBIII", 1, flags, chunk_len, n, len(payloads))
+    sizes_blob = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
+    return head + sizes_blob + b"".join(payloads)
+
+
+def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
+    """Decode a chunked container → (raw-bits array, bits)."""
+    data = bytes(data)
+    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported chunked container version {ver}")
+    bits = 64 if flags & 1 else 32
+    off = 14
+    sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
+    off += 4 * n_chunks
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
+
+    dt = np.uint32 if bits == 32 else np.uint64
+    if n_chunks == 0:
+        return np.zeros(0, dt), bits
+
+    # full chunks (all but possibly the last) decode in parallel on device
+    n_full = n_chunks - 1 if total % chunk_len or total == 0 else n_chunks
+    out = np.empty(total, dtype=dt)
+    if use_tpu is None:
+        import jax
+
+        use_tpu = jax.default_backend() != "cpu"
+    if bits == 32 and n_full > 0 and use_tpu:
+        from .codec import fp_jax
+
+        B = fp_jax.f32_max_chunk_bytes(chunk_len)
+        mat = np.zeros((n_full, B), np.uint8)
+        buf = np.frombuffer(data, np.uint8)
+        for c in range(n_full):
+            mat[c, : sizes[c]] = buf[offsets[c] : offsets[c + 1]]
+        # exponents from the first chunk header (uniform across full chunks)
+        e1 = (mat[0, 0] >> 4) << 1
+        e2 = (mat[0, 0] & 15) << 1
+        out[: n_full * chunk_len] = fp_jax.decode_f32(mat, chunk_len, int(e1), int(e2))
+        start = n_full
+    else:
+        start = 0
+    for c in range(start, n_chunks):
+        vals = _host_fp_decode(
+            np.frombuffer(data, np.uint8)[offsets[c] : offsets[c + 1]], bits
+        )
+        out[c * chunk_len : c * chunk_len + len(vals)] = vals
+    return out, bits

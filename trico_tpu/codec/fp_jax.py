@@ -295,6 +295,16 @@ def _native():
     return native if native.available() else None
 
 
+def _pad_rows(arr: np.ndarray, C: int) -> np.ndarray:
+    """Pad the chunk axis up to a bucket size (next power of two) so jit
+    compilations are bounded to O(log C) distinct shapes per chunk_len."""
+    Cp = 1 << max(C - 1, 0).bit_length() if C > 1 else 1
+    if Cp == C:
+        return arr
+    pad = np.zeros((Cp - C,) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
                device_pack: bool = False):
     """Encode a flat uint32 stream in TPU chunks.
@@ -311,14 +321,14 @@ def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10
     B = f32_max_chunk_bytes(chunk_len)
     if C == 0:
         return np.zeros((0, B), np.uint8), np.zeros(0, np.int64), tail
-    chunks = values_u32[: C * chunk_len].reshape(C, chunk_len)
+    chunks = _pad_rows(values_u32[: C * chunk_len].reshape(C, chunk_len), C)
     nat = _native()
     if device_pack or nat is None:
         out, sizes = encode_f32_chunks(jnp.asarray(chunks), e1, e2)
-        return np.asarray(out), np.asarray(sizes, dtype=np.int64), tail
+        return np.asarray(out)[:C], np.asarray(sizes, dtype=np.int64)[:C], tail
     bcode, res = predict_f32_chunks(jnp.asarray(chunks), e1, e2)
-    bcode_np = np.ascontiguousarray(np.asarray(bcode))
-    res_np = np.ascontiguousarray(np.asarray(res))
+    bcode_np = np.ascontiguousarray(np.asarray(bcode)[:C])
+    res_np = np.ascontiguousarray(np.asarray(res)[:C])
     out = np.zeros((C, B), dtype=np.uint8)
     sizes = np.zeros(C, dtype=np.int32)
     rc = nat.get_lib().tt_fp32_pack_chunks(
@@ -344,8 +354,8 @@ def decode_f32(payloads: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
         return np.zeros(0, np.uint32)
     nat = _native()
     if device_parse or nat is None:
-        out = decode_f32_chunks(jnp.asarray(payloads), chunk_len, e1, e2)
-        return np.asarray(out).reshape(-1)
+        out = decode_f32_chunks(jnp.asarray(_pad_rows(payloads, C)), chunk_len, e1, e2)
+        return np.asarray(out)[:C].reshape(-1)
     payloads = np.ascontiguousarray(payloads)
     bcodes = np.zeros((C, chunk_len), np.uint8)
     xors = np.zeros((C, chunk_len), np.uint32)
@@ -356,5 +366,7 @@ def decode_f32(payloads: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
     )
     if rc != 0:
         raise RuntimeError("native parse failed")
-    vals = replay_f32_chunks(jnp.asarray(bcodes), jnp.asarray(xors), e1, e2)
-    return np.asarray(vals).reshape(-1)
+    vals = replay_f32_chunks(
+        jnp.asarray(_pad_rows(bcodes, C)), jnp.asarray(_pad_rows(xors, C)), e1, e2
+    )
+    return np.asarray(vals)[:C].reshape(-1)
