@@ -2,7 +2,10 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the container's sitecustomize pins JAX_PLATFORMS=axon (tunneled TPU)
+# and imports jax at interpreter startup, so a plain env var is NOT enough —
+# jax.config.update below is what actually forces CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TRICO_TPU_SCAN_UNROLL", "1")  # fast compiles on CPU
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/trico_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -14,8 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 

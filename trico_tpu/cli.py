@@ -51,12 +51,10 @@ def encoder_main(argv=None) -> int:
 
     use_native = args.backend in ("auto", "native")
     if args.backend == "jax":
-        from .parallel.mesh_codec import encode_mesh_file
-
-        encode_mesh_file(inp, out)
-        return 0
-
-    w = ArchiveWriter(use_native=use_native)
+        # TPU chunk-parallel path → version-1 chunked archive
+        w = ArchiveWriter(chunk_len=4096)
+    else:
+        w = ArchiveWriter(use_native=use_native)
     if ext == ".stl":
         full = bool(args.stladd)
         if full:
