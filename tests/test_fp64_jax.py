@@ -1,0 +1,53 @@
+"""f64 TPU chunk codec tests (hi/lo uint32-pair arithmetic vs the oracle)."""
+
+import numpy as np
+import pytest
+
+from trico_tpu import native
+from trico_tpu.codec import fp64_jax, fp_ref
+from conftest import mesh_like_floats
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="needs native packer")
+
+
+@pytest.mark.parametrize("L", [2, 64, 256])
+@pytest.mark.parametrize("e", [(20, 20), (4, 10), (2, 6)])
+def test_f64_chunks_match_oracle(L, e):
+    C = 5
+    vals = mesh_like_floats(C * L, seed=L, dtype=np.float64).view(np.uint64)
+    out, sizes, tail = fp64_jax.encode_f64(vals, L, *e)
+    assert len(tail) == 0
+    for c in range(C):
+        expect = fp_ref.compress(vals[c * L : (c + 1) * L], *e)
+        got = out[c, : sizes[c]].tobytes()
+        assert got == expect, f"chunk {c} differs"
+
+
+def test_f64_random_bits():
+    r = np.random.default_rng(0)
+    vals = r.integers(0, 2**64, 8 * 128, dtype=np.uint64)
+    out, sizes, _ = fp64_jax.encode_f64(vals, 128)
+    for c in range(8):
+        expect = fp_ref.compress(vals[c * 128 : (c + 1) * 128], 20, 20)
+        assert out[c, : sizes[c]].tobytes() == expect
+
+
+@pytest.mark.parametrize("L", [2, 64, 250])
+def test_f64_decode_roundtrip(L):
+    C = 4
+    vals = mesh_like_floats(C * L, seed=L + 7, dtype=np.float64).view(np.uint64)
+    out, sizes, _ = fp64_jax.encode_f64(vals, L)
+    dec = fp64_jax.decode_f64(out, L)
+    np.testing.assert_array_equal(dec, vals[: len(dec)])
+
+
+def test_f64_chunked_container_tpu_path():
+    from trico_tpu import chunked
+
+    vals = mesh_like_floats(5000, seed=3, dtype=np.float64).view(np.uint64)
+    a = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True)
+    b = chunked.encode_chunked(vals, chunk_len=512, use_tpu=False)
+    assert a == b
+    out, bits = chunked.decode_chunked(a)
+    assert bits == 64
+    np.testing.assert_array_equal(out, vals)

@@ -73,18 +73,29 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
 
     payloads: list[bytes] = []
-    if bits == 32 and n >= chunk_len:
+    if n >= chunk_len:
         if use_tpu is None:
             import jax
 
             use_tpu = jax.default_backend() != "cpu"
         if use_tpu:
-            from .codec import fp_jax
+            from . import native
 
-            mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2)
-            payloads = [mat[c, : sizes[c]].tobytes() for c in range(len(sizes))]
-            if len(tail):
-                payloads.append(_host_fp_encode(tail, e1, e2))
+            if bits == 32:
+                from .codec import fp_jax
+
+                mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2)
+            elif native.available():
+                from .codec import fp64_jax
+
+                chunk_len = (chunk_len // 2) * 2 or 2
+                mat, sizes, tail = fp64_jax.encode_f64(values, chunk_len, e1, e2)
+            else:
+                mat, sizes, tail = None, None, None
+            if sizes is not None:
+                payloads = [mat[c, : sizes[c]].tobytes() for c in range(len(sizes))]
+                if len(tail):
+                    payloads.append(_host_fp_encode(tail, e1, e2))
     if not payloads:
         for i in range(n_chunks):
             payloads.append(_host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2))

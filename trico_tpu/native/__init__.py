@@ -79,6 +79,10 @@ def get_lib():
         lib.tt_fp32_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
         lib.tt_fp32_parse_chunks.restype = i64
         lib.tt_fp32_parse_chunks.argtypes = [p, i64, i64, i64, p, p]
+        lib.tt_fp64_pack_chunks.restype = i64
+        lib.tt_fp64_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
+        lib.tt_fp64_parse_chunks.restype = i64
+        lib.tt_fp64_parse_chunks.argtypes = [p, i64, i64, i64, p, p]
         lib.tt_shuffle_bytes.restype = None
         lib.tt_shuffle_bytes.argtypes = [p, i64, ctypes.c_int32, p]
         lib.tt_unshuffle_bytes.restype = None

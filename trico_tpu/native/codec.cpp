@@ -298,6 +298,59 @@ EXPORT int64_t tt_fp32_parse_chunks(const uint8_t* in, int64_t C,
   return 0;
 }
 
+EXPORT int64_t tt_fp64_pack_chunks(const uint8_t* bcodes, const uint64_t* res,
+                                   int64_t C, int64_t L, uint32_t e1,
+                                   uint32_t e2, uint8_t* out, int64_t stride,
+                                   int32_t* sizes) {
+  if (L % 2 != 0) return -1;
+  e1 = (e1 >> 1) << 1;
+  if (e1 > 30) e1 = 30;
+  e2 = (e2 >> 1) << 1;
+  if (e2 > 30) e2 = 30;
+  for (int64_t c = 0; c < C; ++c) {
+    const uint8_t* bc = bcodes + c * L;
+    const uint64_t* rs = res + c * L;
+    uint8_t* p = out + c * stride;
+    uint8_t* p0 = p;
+    *p++ = uint8_t(((e1 >> 1) << 4) | (e2 >> 1));
+    put_be(p, uint32_t(L), 4);
+    for (int64_t g = 0; g < L / 2; ++g) {
+      int b0 = bc[g * 2], b1 = bc[g * 2 + 1];
+      *p++ = uint8_t(b0 | (b1 << 4));
+      int len0 = (b0 <= 8) ? b0 : b0 - 8;
+      int len1 = (b1 <= 8) ? b1 : b1 - 8;
+      put_be(p, rs[g * 2], len0);
+      put_be(p, rs[g * 2 + 1], len1);
+    }
+    sizes[c] = int32_t(p - p0);
+  }
+  return 0;
+}
+
+EXPORT int64_t tt_fp64_parse_chunks(const uint8_t* in, int64_t C,
+                                    int64_t stride, int64_t L, uint8_t* bcodes,
+                                    uint64_t* xors) {
+  if (L % 2 != 0) return -1;
+  for (int64_t c = 0; c < C; ++c) {
+    const uint8_t* p = in + c * stride + 5;
+    uint8_t* bc = bcodes + c * L;
+    uint64_t* xr = xors + c * L;
+    for (int64_t g = 0; g < L / 2; ++g) {
+      uint8_t tag = *p++;
+      int bs[2] = {tag & 15, (tag >> 4) & 15};
+      for (int k = 0; k < 2; ++k) {
+        int b = bs[k];
+        bc[g * 2 + k] = uint8_t(b);
+        int len = (b <= 8) ? b : b - 8;
+        uint64_t x = 0;
+        for (int q = 0; q < len; ++q) x = (x << 8) | *p++;
+        xr[g * 2 + k] = x;
+      }
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------- LZ4 block
 
 // Own implementation of the public LZ4 block format. Greedy hash-table match
