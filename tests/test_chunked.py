@@ -77,3 +77,26 @@ def test_bad_version_rejected():
     blob = struct.pack("<II", 0x6F637254, 7)
     with pytest.raises(ValueError):
         ArchiveReader(blob)
+
+
+def test_lz4_chunked_container_roundtrip():
+    r = np.random.default_rng(0)
+    for data in [np.zeros(50000, np.uint8),
+                 r.integers(0, 8, 40000).astype(np.uint8),
+                 np.arange(100, dtype=np.uint8),
+                 np.zeros(0, np.uint8)]:
+        blob = chunked.encode_lz4_chunked(data)
+        out = chunked.decode_lz4_chunked(blob)
+        np.testing.assert_array_equal(out, data)
+
+
+def test_v1_archive_integer_streams_chunked():
+    rng = np.random.default_rng(5)
+    tris = rng.integers(0, 30000, (50000, 3)).astype(np.uint32)
+    colors = rng.integers(0, 2**32, 30000).astype(np.uint32)
+    w = ArchiveWriter(chunk_len=1024)
+    w.write_triangles(tris)
+    w.write_vertex_colors(colors)
+    r = ArchiveReader(w.tobytes())
+    np.testing.assert_array_equal(r.read_triangles(), tris)
+    np.testing.assert_array_equal(r.read_vertex_colors(), colors)

@@ -117,6 +117,7 @@ class ArchiveWriter:
                 return _chunked.encode_chunked(vals, cl, e1, e2)
 
             self._fp_enc = _enc
+            self._lz4_c = _chunked.encode_lz4_chunked
 
     # -- low-level helpers -------------------------------------------------
 
@@ -298,6 +299,7 @@ class ArchiveReader:
                 return vals
 
             self._fp_dec = _dec
+            self._lz4_d = lambda payload, n: _chunked.decode_lz4_chunked(payload)
         elif version != 0:
             raise ValueError(f"unsupported archive version {version}")
         self._pos = 8

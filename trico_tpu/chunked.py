@@ -106,6 +106,71 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     return head + sizes_blob + b"".join(payloads)
 
 
+DEFAULT_LZ4_BLOCK = 16384
+
+
+def encode_lz4_chunked(plane: np.ndarray, block_len: int = DEFAULT_LZ4_BLOCK,
+                       use_tpu: bool | None = None) -> bytes:
+    """Chunked-LZ4 container: independent LZ4 blocks of ``block_len`` bytes.
+
+    flags byte = 2 distinguishes it from FP containers. Device match search
+    (lz4_jax) for full blocks when a TPU backend is up; host codec otherwise.
+    Blocks decode independently → parallel/resumable integer streams.
+    """
+    from . import native
+
+    plane = np.ascontiguousarray(plane, dtype=np.uint8).reshape(-1)
+    n = len(plane)
+    if use_tpu is None:
+        import jax
+
+        use_tpu = jax.default_backend() != "cpu"
+    payloads: list[bytes] = []
+    if use_tpu and native.available() and n >= block_len:
+        from .codec import lz4_jax
+
+        payloads = lz4_jax.compress_plane(plane, block=block_len)
+    else:
+        comp = native.lz4_compress if native.available() else (
+            lambda d: __import__("trico_tpu.codec.lz4_ref", fromlist=["compress"]).compress(bytes(d))
+        )
+        for i in range(0, max(n, 1), block_len):
+            blk = plane[i : i + block_len]
+            if len(blk) or n == 0:
+                payloads.append(comp(blk))
+            if n == 0:
+                break
+    head = struct.pack("<BBIII", 1, 2, block_len, n, len(payloads))
+    sizes_blob = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
+    return head + sizes_blob + b"".join(payloads)
+
+
+def decode_lz4_chunked(data) -> np.ndarray:
+    from . import native
+    from .codec import lz4_ref
+
+    data = bytes(data)
+    ver, flags, block_len, total, n_blocks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1 or flags != 2:
+        raise ValueError("not a chunked LZ4 container")
+    off = 14
+    sizes = struct.unpack_from(f"<{n_blocks}I", data, off)
+    off += 4 * n_blocks
+    out = np.empty(total, np.uint8)
+    pos = 0
+    for i in range(n_blocks):
+        size = min(block_len, total - i * block_len)
+        payload = data[off + pos : off + pos + sizes[i]]
+        pos += sizes[i]
+        if native.available():
+            out[i * block_len : i * block_len + size] = native.lz4_decompress(payload, size)
+        else:
+            out[i * block_len : i * block_len + size] = np.frombuffer(
+                lz4_ref.decompress(payload, size), np.uint8
+            )
+    return out
+
+
 def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     """Decode a chunked container → (raw-bits array, bits)."""
     data = bytes(data)

@@ -75,6 +75,8 @@ def get_lib():
         lib.tt_lz4_compress.argtypes = [p, i64, p, i64]
         lib.tt_lz4_decompress.restype = i64
         lib.tt_lz4_decompress.argtypes = [p, i64, p, i64]
+        lib.tt_lz4_emit.restype = i64
+        lib.tt_lz4_emit.argtypes = [p, i64, p, p, p, i64]
         lib.tt_fp32_pack_chunks.restype = i64
         lib.tt_fp32_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
         lib.tt_fp32_parse_chunks.restype = i64

@@ -495,6 +495,100 @@ EXPORT int64_t tt_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
   return op - dst;
 }
 
+// Emit a valid LZ4 block from device-found match candidates (offsets per
+// position + exact offset-1 run lengths). Candidates are re-verified and
+// extended against the actual bytes, so bad candidates cost ratio only.
+EXPORT int64_t tt_lz4_emit(const uint8_t* src, int64_t n, const int32_t* cand,
+                           const int32_t* rle, uint8_t* dst, int64_t cap) {
+  if (cap < tt_lz4_bound(n)) return -1;
+  uint8_t* op = dst;
+  const uint8_t* anchor = src;
+
+  auto emit_run = [&](const uint8_t* lit_start, int64_t lit_len, int64_t mlen,
+                      uint32_t offset) {
+    uint8_t* token = op++;
+    int64_t l = lit_len;
+    if (l >= 15) {
+      *token = 15 << 4;
+      l -= 15;
+      while (l >= 255) {
+        *op++ = 255;
+        l -= 255;
+      }
+      *op++ = uint8_t(l);
+    } else {
+      *token = uint8_t(l) << 4;
+    }
+    std::memcpy(op, lit_start, size_t(lit_len));
+    op += lit_len;
+    if (mlen > 0) {
+      *op++ = uint8_t(offset);
+      *op++ = uint8_t(offset >> 8);
+      int64_t m = mlen - LZ_MINMATCH;
+      if (m >= 15) {
+        *token |= 15;
+        m -= 15;
+        while (m >= 255) {
+          *op++ = 255;
+          m -= 255;
+        }
+        *op++ = uint8_t(m);
+      } else {
+        *token |= uint8_t(m);
+      }
+    }
+  };
+
+  if (n >= LZ_MFLIMIT + 1) {
+    const uint8_t* match_limit = src + n - LZ_LASTLITERALS;
+    const uint8_t* mflimit = src + n - LZ_MFLIMIT;
+    const uint8_t* ip = src;
+    while (ip <= mflimit) {
+      int64_t p = ip - src;
+      int64_t best_len = 0;
+      uint32_t best_off = 0;
+      // offset-1 run candidate with exact device-computed length
+      int32_t r = rle[p];
+      if (r >= LZ_MINMATCH && p >= 1) {
+        int64_t len = r;
+        if (ip + len > match_limit) len = match_limit - ip;
+        if (len >= LZ_MINMATCH) {
+          best_len = len;
+          best_off = 1;
+        }
+      }
+      // hash-match candidate, verified + extended against the real bytes
+      int32_t off = cand[p];
+      if (off > 0 && off <= 65535 && p - off >= 0 &&
+          load32(src + p - off) == load32(ip)) {
+        const uint8_t* q = lz_extend(ip + LZ_MINMATCH,
+                                     src + p - off + LZ_MINMATCH, match_limit);
+        int64_t len = q - ip;
+        if (len > best_len) {
+          best_len = len;
+          best_off = uint32_t(off);
+        }
+      }
+      if (best_len >= LZ_MINMATCH) {
+        const uint8_t* mp = ip - best_off;
+        // extend backwards over pending literals
+        while (ip > anchor && mp > src && ip[-1] == mp[-1]) {
+          --ip;
+          --mp;
+          ++best_len;
+        }
+        emit_run(anchor, ip - anchor, best_len, best_off);
+        ip += best_len;
+        anchor = ip;
+      } else {
+        ++ip;
+      }
+    }
+  }
+  emit_run(anchor, (src + n) - anchor, 0, 0);
+  return op - dst;
+}
+
 EXPORT int64_t tt_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
                                  int64_t cap) {
   const uint8_t* ip = src;
