@@ -1,0 +1,98 @@
+"""Multi-device (simulated multi-host) tests on the virtual 8-CPU mesh.
+
+Scale-model of the BASELINE config "100M-point cloud sharded across N hosts:
+chunked data-parallel encode, ordered gather, bit-exact decode".
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from trico_tpu.codec import fp_ref
+from trico_tpu.parallel import mesh_codec
+from conftest import mesh_like_floats
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs8
+def test_sharded_encode_matches_oracle():
+    mesh = mesh_codec.make_mesh(8)
+    L = 128
+    planes = np.stack([
+        mesh_like_floats(40 * L, seed=s).view(np.uint32) for s in (0, 1, 2)
+    ])
+    payloads, sizes, offsets, tails = mesh_codec.encode_planes(
+        planes, chunk_len=L, mesh=mesh
+    )
+    assert payloads.shape[:2] == (3, 40)
+    for p in range(3):
+        for c in range(40):
+            expect = fp_ref.compress(planes[p, c * L : (c + 1) * L], 4, 10)
+            assert payloads[p, c, : sizes[p, c]].tobytes() == expect
+    # offsets = exclusive scan in (plane, chunk) order → deterministic layout
+    flat = sizes.reshape(-1)
+    np.testing.assert_array_equal(
+        offsets.reshape(-1), np.concatenate([[0], np.cumsum(flat)[:-1]])
+    )
+
+
+@needs8
+def test_device_count_invariance():
+    """The archive bytes must not depend on how many devices encoded them."""
+    L = 128
+    planes = np.stack([mesh_like_floats(24 * L, seed=9).view(np.uint32)])
+    outs = []
+    for n_dev in (1, 2, 8):
+        mesh = mesh_codec.make_mesh(n_dev)
+        payloads, sizes, _, _ = mesh_codec.encode_planes(planes, chunk_len=L, mesh=mesh)
+        outs.append(b"".join(
+            payloads[0, c, : sizes[0, c]].tobytes() for c in range(payloads.shape[1])
+        ))
+    assert outs[0] == outs[1] == outs[2]
+
+
+@needs8
+def test_roundtrip_step_on_mesh():
+    mesh = mesh_codec.make_mesh(8)
+    L = 64
+    vals = np.stack([
+        mesh_like_floats(16 * L, seed=s).view(np.uint32).reshape(16, L)
+        for s in (0, 1, 2)
+    ])
+    import jax.numpy as jnp
+
+    exact, total, offsets = jax.jit(
+        lambda v: mesh_codec.roundtrip_step(v, L, mesh)
+    )(jnp.asarray(vals))
+    assert bool(exact)
+    assert int(total) > 0
+
+
+@needs8
+def test_point_cloud_archive_sharded():
+    """End-to-end point-cloud config: xyz f32 points → sharded chunk encode →
+    chunked archive container bytes → bit-exact decode."""
+    from trico_tpu import chunked
+
+    n = 100_000  # scale model of the 100M config
+    pts = np.stack([mesh_like_floats(n, seed=s) for s in (1, 2, 3)], axis=1)
+    mesh = mesh_codec.make_mesh(8)
+    planes = np.ascontiguousarray(pts.T).view(np.uint32).reshape(3, n)
+    payloads, sizes, offsets, tails = mesh_codec.encode_planes(
+        planes, chunk_len=4096, mesh=mesh
+    )
+    # ordered gather: assemble each plane's chunked container on host
+    for p in range(3):
+        parts = [payloads[p, c, : sizes[p, c]].tobytes() for c in range(payloads.shape[1])]
+        if len(tails[p]):
+            from trico_tpu.chunked import _host_fp_encode
+
+            parts.append(_host_fp_encode(tails[p], 4, 10))
+        import struct
+
+        head = struct.pack("<BBIII", 1, 0, 4096, n, len(parts))
+        sizes_blob = struct.pack(f"<{len(parts)}I", *[len(x) for x in parts])
+        blob = head + sizes_blob + b"".join(parts)
+        out, bits = chunked.decode_chunked(blob)
+        np.testing.assert_array_equal(out, planes[p])

@@ -56,7 +56,7 @@ def _sharded_encode(values, e1, e2, n_planes, mesh):
     payloads, sizes = jax.vmap(enc)(values)  # (p, C, B), (p, C)
     # deterministic archive layout: exclusive scan of sizes in (plane, chunk)
     # order — replicated result, so every device knows every offset
-    flat = sizes.reshape(-1).astype(jnp.int64)
+    flat = sizes.reshape(-1).astype(jnp.int32)
     offsets = jnp.cumsum(flat) - flat
     offsets = jax.lax.with_sharding_constraint(
         offsets, NamedSharding(mesh, P(None))
@@ -109,5 +109,5 @@ def roundtrip_step(values, chunk_len: int, mesh: Mesh, e1: int = 4, e2: int = 10
     payloads, sizes, offsets = _sharded_encode(values, e1, e2, values.shape[0], mesh=mesh)
     decoded = _sharded_decode(payloads, values.shape[2], e1, e2, mesh=mesh)
     exact = jnp.all(decoded == values)
-    total_bytes = jnp.sum(sizes.astype(jnp.int64))
+    total_bytes = jnp.sum(sizes.astype(jnp.int32))
     return exact, total_bytes, offsets
