@@ -50,13 +50,13 @@ C = n_values // chunk_len
 x = jnp.asarray(raw[: C * chunk_len].reshape(C, chunk_len))
 
 # warm-up / compile
-payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 10)
+payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 8)
 jax.block_until_ready((payloads, sizes))
 
 reps = 10
 t0 = time.perf_counter()
 for _ in range(reps):
-    payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 10)
+    payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 8)
 jax.block_until_ready((payloads, sizes))
 dt = (time.perf_counter() - t0) / reps
 gbps = C * chunk_len * 4 / 1e9 / dt
@@ -71,7 +71,7 @@ if _nat.available():
     bc_np = np.zeros((C, chunk_len), np.uint8)
     rs_np = np.zeros((C, chunk_len), np.uint32)
     # produce host-side payload matrix via the native packer
-    bco_d, res_d = fp_jax.predict_f32_chunks(x, 4, 10)
+    bco_d, res_d = fp_jax.predict_f32_chunks(x, 4, 8)
     # (device->host of the predictor outputs happens once, outside the loop)
     bc_np[:] = np.asarray(bco_d)
     rs_np[:] = np.asarray(res_d)
@@ -79,7 +79,7 @@ if _nat.available():
     szs = np.zeros(C, np.int32)
     _nat.get_lib().tt_fp32_pack_chunks(
         bc_np.ctypes.data_as(ctypes.c_void_p), rs_np.ctypes.data_as(ctypes.c_void_p),
-        C, chunk_len, 4, 10, pl_np.ctypes.data_as(ctypes.c_void_p), B,
+        C, chunk_len, 4, 8, pl_np.ctypes.data_as(ctypes.c_void_p), B,
         szs.ctypes.data_as(ctypes.c_void_p))
 
     def composite_decode():
@@ -88,7 +88,7 @@ if _nat.available():
         _nat.get_lib().tt_fp32_parse_chunks(
             pl_np.ctypes.data_as(ctypes.c_void_p), C, B, chunk_len,
             bco.ctypes.data_as(ctypes.c_void_p), xo.ctypes.data_as(ctypes.c_void_p))
-        return fp_jax.replay_f32_chunks(jnp.asarray(bco), jnp.asarray(xo), 4, 10)
+        return fp_jax.replay_f32_chunks(jnp.asarray(bco), jnp.asarray(xo), 4, 8)
 
     dec = composite_decode(); jax.block_until_ready(dec)
     t0 = time.perf_counter()
@@ -97,10 +97,10 @@ if _nat.available():
     jax.block_until_ready(dec)
     ddt = (time.perf_counter() - t0) / 3
 else:
-    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 10)
+    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 8)
     jax.block_until_ready(dec)
     t0 = time.perf_counter()
-    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 10)
+    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 8)
     jax.block_until_ready(dec)
     ddt = time.perf_counter() - t0
 dgbps = C * chunk_len * 4 / 1e9 / ddt

@@ -30,6 +30,10 @@ import numpy as np
 from .codec import fp_ref
 
 DEFAULT_CHUNK_LEN = 4096
+# Chunked-mode hash exponents: e2=8 costs ~0.2% ratio vs the reference's
+# (4,10) on mesh data but runs the 256-entry table 2x faster on TPU (VMEM
+# one-hot width). Self-describing via each chunk's hash_info byte.
+F32_TPU_EXP = (4, 8)
 
 
 def _host_fp_encode(vals, e1, e2):
@@ -60,7 +64,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     if values.dtype == np.uint32:
         bits = 32
         if e1 is None:
-            e1, e2 = 4, 10
+            e1, e2 = F32_TPU_EXP
     elif values.dtype == np.uint64:
         bits = 64
         if e1 is None:

@@ -64,14 +64,37 @@ def _onehot_write(table, idx, val, iota):
     return jnp.where(iota == idx[:, None], val[:, None], table)
 
 
+def _use_pallas() -> bool:
+    """Pallas kernels on real TPU backends (interpret mode is exact but slow;
+    the XLA scan is faster on CPU). Override with TRICO_TPU_PALLAS=0/1."""
+    import os
+
+    v = os.environ.get("TRICO_TPU_PALLAS")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() not in ("cpu",)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def predict_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
     """Compute (bcode, residual) for (C, L) uint32 chunks, all on device.
 
     Returns (bcode (C, L) uint8, res (C, L) uint32). Packing these into the
     byte stream is a separate step (host packer or :func:`pack_f32_chunks`).
+    The predictor scan runs as a Pallas VMEM kernel on TPU backends (5 GB/s on
+    v5e at e2=8) and as the XLA lane scan elsewhere.
     """
     e1, e2 = _norm_exponents(e1, e2)
+    C, L = values.shape
+    if _use_pallas():
+        from . import fp_pallas
+
+        xor1, xor2 = fp_pallas.predict_xors_pallas(values, e1, e2, False)
+        return _bcode_res_from_xors(xor1, xor2)
+    return _predict_scan(values, e1, e2)
+
+
+def _predict_scan(values, e1, e2):
     C, L = values.shape
     T1, T2 = 1 << e1, 1 << e2
     m2 = np.uint32((1 << e2) - 1)
@@ -101,6 +124,23 @@ def predict_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
     _, (xor1T, xor2T) = jax.lax.scan(step, carry0, vT, unroll=_SCAN_UNROLL)
     xor1, xor2 = xor1T.T, xor2T.T  # (C, L)
 
+    nb1 = jnp.where(
+        xor1 == 0, 0,
+        jnp.where(xor1 >> 8 == 0, 1,
+                  jnp.where(xor1 >> 16 == 0, 2,
+                            jnp.where(xor1 >> 24 == 0, 3, 4))),
+    ).astype(jnp.int32)
+    nb2 = jnp.where(
+        xor2 >> 8 == 0, 1,
+        jnp.where(xor2 >> 16 == 0, 2, jnp.where(xor2 >> 24 == 0, 3, 4)),
+    ).astype(jnp.int32)
+    use_dfcm = (nb1 >= 2) & (nb2 < nb1)
+    bcode = jnp.where(use_dfcm, 4 + nb2, nb1)
+    res = jnp.where(use_dfcm, xor2, xor1)
+    return bcode.astype(jnp.uint8), res
+
+
+def _bcode_res_from_xors(xor1, xor2):
     nb1 = jnp.where(
         xor1 == 0, 0,
         jnp.where(xor1 >> 8 == 0, 1,
@@ -178,7 +218,10 @@ def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10)
         ],
         axis=1,
     )
-    _, out = jax.lax.sort((dest, byte), num_keys=1, is_stable=True)
+    # single-operand sort of (dest << 8 | byte): halves sort data movement;
+    # valid destinations are unique so stability is irrelevant
+    packed = (dest.astype(jnp.uint32) << 8) | byte.astype(jnp.uint32)
+    out = jax.lax.sort((packed,), num_keys=1)[0] & 0xFF
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < total[:, None], out, 0)
     return out.astype(jnp.uint8), total.astype(jnp.int32)
@@ -208,6 +251,10 @@ def replay_f32_chunks(bcodes: jax.Array, xors: jax.Array, e1: int = 4, e2: int =
 
 def _replay_impl(bcodes, xors, e1, e2):
     e1, e2 = _norm_exponents(e1, e2)
+    if _use_pallas():
+        from . import fp_pallas
+
+        return fp_pallas.replay_pallas(bcodes, xors, e1, e2, False)
     C, L = xors.shape
     T1, T2 = 1 << e1, 1 << e2
     m2 = np.uint32((1 << e2) - 1)

@@ -1,0 +1,161 @@
+"""Pallas TPU kernels for the FCM/DFCM predictor scan.
+
+Same math as the ``lax.scan`` path in fp_jax.py, but with the hash tables
+pinned in VMEM scratch for the whole block and the position loop as an
+in-kernel ``fori_loop`` — no per-step HBM carry traffic and no scan overhead.
+
+Layout: chunks ride the 128-wide lane axis; tables are (T, C_BLK) with the
+table index on sublanes, so one-hot reads/writes are full-width VPU
+compare/selects. The grid walks chunk blocks of C_BLK lanes.
+
+Used automatically by fp_jax.encode when running on a real TPU backend (falls
+back to the XLA scan elsewhere; interpret mode keeps tests exact on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_BLK = 512
+
+
+def _onehot_reduce(table, iota, idx):
+    """table[idx] per lane via compare/select + reduce.
+
+    Mosaic can't reduce unsigned ints; the one-hot select has exactly one
+    non-zero per lane, so an int32 bitcast + sum is exact.
+    """
+    sel = jnp.where(iota == idx, table, 0)
+    s = jnp.sum(jax.lax.bitcast_convert_type(sel, jnp.int32), axis=0, keepdims=True)
+    return jax.lax.bitcast_convert_type(s, jnp.uint32)
+
+
+def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
+    return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
+
+
+def _predict_kernel(e1, e2, T1, T2, L, in_ref, xor1_ref, xor2_ref, t1_ref, t2_ref):
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, C_BLK), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, C_BLK), 0)
+    t1_ref[:] = jnp.zeros((T1, C_BLK), jnp.uint32)
+    t2_ref[:] = jnp.zeros((T2, C_BLK), jnp.uint32)
+
+    z = jnp.zeros((1, C_BLK), jnp.uint32)
+
+    def body(i, carry):
+        h1, h2, pred1, pred2, last = carry
+        v = in_ref[i, :].reshape(1, C_BLK)
+        xor1_ref[i, :] = (v ^ pred1).reshape(C_BLK)
+        xor2_ref[i, :] = (v ^ (last + pred2)).reshape(C_BLK)
+        t1_ref[:] = jnp.where(iota1 == h1, v, t1_ref[:])
+        h1n = (v >> (32 - e1)) if e1 else h1
+        pred1 = _onehot_reduce(t1_ref[:], iota1, h1n)
+        stride = v - last
+        t2_ref[:] = jnp.where(iota2 == h2, stride, t2_ref[:])
+        h2n = (((h2 << (e2 // 2)) ^ (stride >> (32 - e2))) & m2) if e2 else h2
+        pred2 = _onehot_reduce(t2_ref[:], iota2, h2n)
+        return (h1n, h2n, pred1, pred2, v)
+
+    jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
+
+
+def _replay_kernel(e1, e2, T1, T2, L, fcm_max, xor_ref, bc_ref, out_ref, t1_ref, t2_ref):
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, C_BLK), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, C_BLK), 0)
+    t1_ref[:] = jnp.zeros((T1, C_BLK), jnp.uint32)
+    t2_ref[:] = jnp.zeros((T2, C_BLK), jnp.uint32)
+
+    z = jnp.zeros((1, C_BLK), jnp.uint32)
+
+    def body(i, carry):
+        h1, h2, pred1, pred2, last = carry
+        xor = xor_ref[i, :].reshape(1, C_BLK)
+        bc = bc_ref[i, :].reshape(1, C_BLK)
+        pred = jnp.where(bc > fcm_max, last + pred2, pred1)
+        v = xor ^ pred
+        out_ref[i, :] = v.reshape(C_BLK)
+        t1_ref[:] = jnp.where(iota1 == h1, v, t1_ref[:])
+        h1n = (v >> (32 - e1)) if e1 else h1
+        pred1 = _onehot_reduce(t1_ref[:], iota1, h1n)
+        stride = v - last
+        t2_ref[:] = jnp.where(iota2 == h2, stride, t2_ref[:])
+        h2n = (((h2 << (e2 // 2)) ^ (stride >> (32 - e2))) & m2) if e2 else h2
+        pred2 = _onehot_reduce(t2_ref[:], iota2, h2n)
+        return (h1n, h2n, pred1, pred2, v)
+
+    jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
+
+
+def _pad_lanes(values_T: jax.Array):
+    """(L, C) → (L, Cp) with Cp a multiple of C_BLK."""
+    L, C = values_T.shape
+    Cp = ((C + C_BLK - 1) // C_BLK) * C_BLK
+    if Cp != C:
+        values_T = jnp.pad(values_T, ((0, 0), (0, Cp - C)))
+    return values_T, Cp
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def predict_xors_pallas(values: jax.Array, e1: int, e2: int, interpret: bool = False):
+    """(C, L) uint32 chunks → (xor1, xor2) (C, L). Pallas predictor scan."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = values.shape
+    T1, T2 = 1 << e1, 1 << e2
+    vT, Cp = _pad_lanes(values.T)
+    grid = (Cp // C_BLK,)
+    kern = functools.partial(_predict_kernel, e1, e2, T1, T2, L)
+    xor1T, xor2T = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
+            jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T1, C_BLK), jnp.uint32),
+            pltpu.VMEM((T2, C_BLK), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(vT)
+    return xor1T[:, :C].T, xor2T[:, :C].T
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def replay_pallas(bcodes: jax.Array, xors: jax.Array, e1: int, e2: int,
+                  interpret: bool = False):
+    """Decode replay: (C, L) (bcode, xor) → (C, L) uint32 values (f32 path)."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = xors.shape
+    T1, T2 = 1 << e1, 1 << e2
+    xT, Cp = _pad_lanes(xors.T)
+    bT, _ = _pad_lanes(bcodes.astype(jnp.uint32).T)
+    kern = functools.partial(_replay_kernel, e1, e2, T1, T2, L, 4)
+    outT = pl.pallas_call(
+        kern,
+        grid=(Cp // C_BLK,),
+        in_specs=[
+            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((T1, C_BLK), jnp.uint32),
+            pltpu.VMEM((T2, C_BLK), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(xT, bT)
+    return outT[:, :C].T
