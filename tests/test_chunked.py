@@ -100,3 +100,26 @@ def test_v1_archive_integer_streams_chunked():
     r = ArchiveReader(w.tobytes())
     np.testing.assert_array_equal(r.read_triangles(), tris)
     np.testing.assert_array_equal(r.read_vertex_colors(), colors)
+
+
+def test_tpu_layout_container_roundtrip_both_hosts():
+    from conftest import mesh_like_floats
+
+    vals = mesh_like_floats(4096 + 100, seed=11).view(np.uint32)  # has tail
+    a = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True, layout="tpu")
+    b = chunked.encode_chunked(vals, chunk_len=512, use_tpu=False, layout="tpu")
+    assert a == b  # device and host producers agree bit-for-bit
+    for blob in (a,):
+        for use_tpu in (True, False):
+            out, bits = chunked.decode_chunked(blob, use_tpu=use_tpu)
+            assert bits == 32
+            np.testing.assert_array_equal(out, vals)
+
+
+def test_tpu_layout_same_size_as_ref_layout():
+    from conftest import mesh_like_floats
+
+    vals = mesh_like_floats(2048, seed=12).view(np.uint32)
+    a = chunked.encode_chunked(vals, chunk_len=512, layout="ref")
+    b = chunked.encode_chunked(vals, chunk_len=512, layout="tpu")
+    assert len(a) == len(b)

@@ -75,3 +75,41 @@ def test_tail_returned():
     out, sizes, tail = fp_jax.encode_f32(vals, 256)
     assert out.shape[0] == 3
     np.testing.assert_array_equal(tail, vals[768:])
+
+
+# ---------------------------------------------------------------------------
+# v2 "tpu layout" (tags front-loaded, gather-free device decode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("L", [8, 64, 256])
+@pytest.mark.parametrize("e", [(4, 10), (4, 8)])
+def test_v2_payload_is_relayout_of_reference(L, e):
+    """v2 bytes == pure permutation of the reference payload (same size)."""
+    C = 6
+    vals = mesh_like_floats(C * L, seed=L + 3).view(np.uint32)
+    out1, sz1, _ = fp_jax.encode_f32(vals, L, *e, device_pack=True)
+    out2, sz2, _ = fp_jax.encode_f32(vals, L, *e, layout="tpu")
+    np.testing.assert_array_equal(sz1, sz2)
+    for c in range(C):
+        p1 = out1[c, : sz1[c]]
+        p2 = out2[c, : sz2[c]]
+        np.testing.assert_array_equal(fp_jax.relayout_f32_v1_to_v2(p1), p2)
+        np.testing.assert_array_equal(fp_jax.relayout_f32_v2_to_v1(p2), p1)
+
+
+@pytest.mark.parametrize("L", [8, 64, 256])
+def test_v2_device_decode_roundtrip(L):
+    C = 5
+    vals = mesh_like_floats(C * L, seed=L + 9).view(np.uint32)
+    out, sizes, _ = fp_jax.encode_f32(vals, L, 4, 8, layout="tpu")
+    dec = fp_jax.decode_f32(out, L, 4, 8, layout="tpu")
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_v2_random_bits_roundtrip():
+    r = np.random.default_rng(3)
+    vals = r.integers(0, 2**32, 9 * 128, dtype=np.uint32)
+    out, sizes, _ = fp_jax.encode_f32(vals, 128, layout="tpu")
+    dec = fp_jax.decode_f32(out, 128, layout="tpu")
+    np.testing.assert_array_equal(dec, vals)

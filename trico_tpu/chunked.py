@@ -6,15 +6,21 @@ A version-1 trico-tpu archive replaces each plain FP substream payload with:
 ``[u32 LE n_chunks][n_chunks x u32 LE chunk_size][concatenated chunk payloads]``
 
 flags bit 0: element width (0 = f32, 1 = f64).
+flags bit 1: payload kind (set = chunked LZ4 container, see encode_lz4_chunked).
+flags bit 2: chunk layout (0 = reference layout, 1 = "tpu" v2 layout: same
+bytes with the group tags front-loaded — fp_jax.pack_f32_chunks_v2 — so decode
+is gather-free on TPU). The final partial chunk, if any, always uses the
+reference layout (it is host-coded either way); relayout is a pure byte
+permutation, so sizes are identical across layouts.
 
-Every chunk payload is a *standard reference FP substream* (hash_info byte,
-big-endian count, tagged groups — see fp_ref.py) holding ``chunk_len`` values,
-except the final chunk which holds the remainder. Chunks are independent codec
-instances, so encode and decode are embarrassingly parallel across chunks —
-this is what the TPU kernels (fp_jax.py) and the multi-chip path
-(trico_tpu/parallel) exploit. The framing is self-describing and skippable,
-preserving the archive property that any stream can be skipped without
-decoding (SURVEY.md §5 checkpoint/resume notes).
+Every chunk payload holds ``chunk_len`` values (final chunk: the remainder)
+with a standard FP substream header (hash_info byte, big-endian count — see
+fp_ref.py); reference-layout chunks are verbatim reference FP substreams.
+Chunks are independent codec instances, so encode and decode are
+embarrassingly parallel across chunks — this is what the TPU kernels
+(fp_jax.py) and the multi-chip path (trico_tpu/parallel) exploit. The framing
+is self-describing and skippable, preserving the archive property that any
+stream can be skipped without decoding (SURVEY.md §5 checkpoint/resume notes).
 
 Warm-up cost: each chunk restarts its predictor tables, costing a little ratio
 (measured ~2-4% on mesh data at chunk_len=4096) — the same trade the reference
@@ -36,6 +42,17 @@ DEFAULT_CHUNK_LEN = 4096
 F32_TPU_EXP = (4, 8)
 
 
+def _tpu_available() -> bool:
+    """True when a non-CPU JAX backend initializes; never raises (a pinned but
+    unavailable platform plugin would otherwise abort host-only encode/decode)."""
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _host_fp_encode(vals, e1, e2):
     from . import native
 
@@ -54,12 +71,14 @@ def _host_fp_decode(payload, bits):
 
 def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                    e1: int | None = None, e2: int | None = None,
-                   use_tpu: bool | None = None) -> bytes:
+                   use_tpu: bool | None = None, layout: str = "ref") -> bytes:
     """Encode a uint32/uint64 raw-bits stream into a chunked container.
 
     f32 full chunks go through the TPU path (``fp_jax``) when a non-CPU JAX
     backend is available (or when ``use_tpu=True``); everything else uses the
-    host codec. Output bytes are identical either way.
+    host codec. Output bytes are identical either way for a given ``layout``
+    ("ref" = reference chunk layout; "tpu" = v2 tags-first layout, the fast
+    gather-free device decode path — f32 only for now).
     """
     if values.dtype == np.uint32:
         bits = 32
@@ -71,6 +90,10 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             e1, e2 = 20, 20
     else:
         raise TypeError(values.dtype)
+    if layout not in ("ref", "tpu"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if bits == 64:
+        layout = "ref"  # f64 v2 layout not yet implemented
     if bits == 32:
         chunk_len = (chunk_len // 8) * 8 or 8
     n = len(values)
@@ -79,16 +102,15 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     payloads: list[bytes] = []
     if n >= chunk_len:
         if use_tpu is None:
-            import jax
-
-            use_tpu = jax.default_backend() != "cpu"
+            use_tpu = _tpu_available()
         if use_tpu:
             from . import native
 
             if bits == 32:
                 from .codec import fp_jax
 
-                mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2)
+                mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2,
+                                                     layout=layout)
             elif native.available():
                 from .codec import fp64_jax
 
@@ -101,10 +123,16 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                 if len(tail):
                     payloads.append(_host_fp_encode(tail, e1, e2))
     if not payloads:
-        for i in range(n_chunks):
-            payloads.append(_host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2))
+        from .codec import fp_jax as _fpj
 
-    flags = 0 if bits == 32 else 1
+        for i in range(n_chunks):
+            p = _host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2)
+            full = (i + 1) * chunk_len <= n
+            if layout == "tpu" and full:
+                p = _fpj.relayout_f32_v1_to_v2(np.frombuffer(p, np.uint8)).tobytes()
+            payloads.append(p)
+
+    flags = (0 if bits == 32 else 1) | (4 if layout == "tpu" else 0)
     head = struct.pack("<BBIII", 1, flags, chunk_len, n, len(payloads))
     sizes_blob = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
     return head + sizes_blob + b"".join(payloads)
@@ -126,9 +154,7 @@ def encode_lz4_chunked(plane: np.ndarray, block_len: int = DEFAULT_LZ4_BLOCK,
     plane = np.ascontiguousarray(plane, dtype=np.uint8).reshape(-1)
     n = len(plane)
     if use_tpu is None:
-        import jax
-
-        use_tpu = jax.default_backend() != "cpu"
+        use_tpu = _tpu_available()
     payloads: list[bytes] = []
     if use_tpu and native.available() and n >= block_len:
         from .codec import lz4_jax
@@ -181,7 +207,10 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
     if ver != 1:
         raise ValueError(f"unsupported chunked container version {ver}")
+    if flags & 2:
+        raise ValueError("LZ4 container passed to decode_chunked")
     bits = 64 if flags & 1 else 32
+    layout = "tpu" if flags & 4 else "ref"
     off = 14
     sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
     off += 4 * n_chunks
@@ -195,10 +224,8 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     n_full = n_chunks - 1 if total % chunk_len or total == 0 else n_chunks
     out = np.empty(total, dtype=dt)
     if use_tpu is None:
-        import jax
-
-        use_tpu = jax.default_backend() != "cpu"
-    if bits == 32 and n_full > 0 and use_tpu:
+        use_tpu = _tpu_available()
+    if bits == 32 and n_full > 0 and (use_tpu or layout == "tpu"):
         from .codec import fp_jax
 
         B = fp_jax.f32_max_chunk_bytes(chunk_len)
@@ -209,7 +236,15 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         # exponents from the first chunk header (uniform across full chunks)
         e1 = (mat[0, 0] >> 4) << 1
         e2 = (mat[0, 0] & 15) << 1
-        out[: n_full * chunk_len] = fp_jax.decode_f32(mat, chunk_len, int(e1), int(e2))
+        if layout == "tpu" and not use_tpu:
+            # host fallback: relayout each chunk to reference order, host-decode
+            for c in range(n_full):
+                p1 = fp_jax.relayout_f32_v2_to_v1(mat[c, : sizes[c]])
+                out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, 32)
+        else:
+            out[: n_full * chunk_len] = fp_jax.decode_f32(
+                mat, chunk_len, int(e1), int(e2), layout=layout
+            )
         start = n_full
     else:
         start = 0

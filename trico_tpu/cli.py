@@ -137,3 +137,25 @@ def decoder_main(argv=None) -> int:
             tri_normals = stl.compute_triangle_normals(verts, tris)
         stl.write_stl(out, verts, tris, tri_normals, attrs16)
     return 0
+
+
+def main(argv=None) -> int:
+    """``python -m trico_tpu.cli {encode|decode} ...`` dispatcher."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m trico_tpu.cli {encode|decode} [options]\n"
+              "       encode -i mesh.{stl,ply} [-o out.trc] [-stladd ...] [-plyskip ...]\n"
+              "       decode -i in.trc [-o out.{stl,ply}]",
+              file=sys.stderr if argv else sys.stdout)
+        return 1 if argv else 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "encode":
+        return encoder_main(rest)
+    if cmd == "decode":
+        return decoder_main(rest)
+    print(f"unknown command {cmd!r} (want encode or decode)", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

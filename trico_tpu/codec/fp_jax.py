@@ -290,14 +290,24 @@ def _replay_impl(bcodes, xors, e1, e2):
     return valsT.T
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def decode_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
-    """All-device decode of (C, B) uint8 reference-format chunk payloads.
+def _glen32(bc):
+    """Group-residual byte length of a 3-bit bcode, arithmetically (no gather):
+    lens table [0,1,2,3,4,1,2,3] == bc - 4*(bc >= 5)."""
+    bc = bc.astype(jnp.int32)
+    return jnp.where(bc >= 5, bc - 4, bc)
 
-    Phase 1 parses tags with a scan over the L/8 groups (the tag position of
-    group g+1 depends on group g's residual lengths); phase 2 replays the
-    predictors. Used for tests and the multichip dryrun; the production
-    numpy-facing path parses on the host (native) and replays on device.
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def parse_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
+    """All-device parse of (C, B) uint8 *reference-layout* chunk payloads into
+    ((C, L) uint8 bcodes, (C, L) uint32 xors).
+
+    The reference layout interleaves tags with residuals, so tag positions are
+    data-dependent: this parse scans over the L/8 groups (vectorized across
+    chunks). It exists for tests and the multichip dryrun; production decode
+    uses the v2 layout (:func:`parse_f32_chunks_v2`, no scan, no gather —
+    TPU gathers measure ~50M elem/s so a pointer-jumping parallel parse of
+    this layout is *slower* than the scan) or the native host parser.
     """
     C, B = payloads.shape
     assert L % 8 == 0
@@ -327,13 +337,171 @@ def decode_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
     shift = (8 * jnp.clip(lens[:, :, None] - 1 - k[None, None, :], 0, 3)).astype(jnp.uint32)
     valid = k[None, None, :] < lens[:, :, None]
     xors = jnp.sum(jnp.where(valid, bytes4 << shift, 0), axis=2).astype(jnp.uint32)
+    return bcodes.astype(jnp.uint8), xors
 
-    return _replay_impl(bcodes.astype(jnp.uint8), xors, e1, e2)
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def decode_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
+    """All-device decode of (C, B) uint8 reference-format chunk payloads:
+    parallel parse (:func:`parse_f32_chunks`) + predictor replay."""
+    bcodes, xors = parse_f32_chunks(payloads, L, e1, e2)
+    return _replay_impl(bcodes, xors, e1, e2)
 
 
 # ---------------------------------------------------------------------------
-# numpy-facing wrappers (production path: device predict + native host pack)
+# v2 "TPU layout" chunk payloads
+#
+# Same bytes as a reference FP substream, reordered for data-parallel decode:
+#   [u8 hash_info][u32 BE count]  -- identical 5-byte header
+#   [3*G tag bytes]               -- ALL group tags, front-loaded (fixed offsets)
+#   [residual bytes]              -- value order (same order as reference)
+# Size is byte-identical to the reference layout (tags are merely hoisted), and
+# conversion either way is a host-side reorder (chunked.relayout_*). Decode
+# needs no pointer-chase (tags sit at static offsets) and no gather: residual
+# expansion is two single-op lax.sorts — the fast reordering primitive on TPU.
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def pack_f32_chunks_v2(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10):
+    """Device packing into v2 layout: (C, L) (bcode, res) → ((C, B) u8, sizes)."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = bcode.shape
+    G = L // 8
+    B = f32_max_chunk_bytes(L)
+    bcode = bcode.astype(jnp.int32)
+    length = _glen32(bcode)  # (C, L)
+    cum = jnp.cumsum(length, axis=1)
+    res_before = cum - length
+    n_res = cum[:, -1]
+    total = 5 + 3 * G + n_res
+
+    hdr = jnp.array(
+        [((e1 >> 1) << 4) | (e2 >> 1), (L >> 24) & 0xFF, (L >> 16) & 0xFF,
+         (L >> 8) & 0xFF, L & 0xFF],
+        dtype=jnp.uint8,
+    )
+    bc_mat = bcode.reshape(C, G, 8)
+    shifts = (3 * jnp.arange(8, dtype=jnp.int32)).reshape(1, 1, 8)
+    tag24 = jnp.sum(bc_mat << shifts, axis=2)
+    tags = jnp.stack(
+        [(tag24 >> 16) & 0xFF, (tag24 >> 8) & 0xFF, tag24 & 0xFF], axis=2
+    ).reshape(C, 3 * G).astype(jnp.uint8)
+
+    # residual compaction: candidate byte k of value i lands at region offset
+    # res_before[i] + k when k < length[i]; one single-op sort orders them.
+    k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
+    res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.uint32)
+    valid = k < length[:, :, None]
+    dest = jnp.where(valid, res_before[:, :, None] + k, 4 * L)
+    packed = (dest.astype(jnp.uint32).reshape(C, 4 * L) << 8) | res_bytes.reshape(C, 4 * L)
+    region = (jax.lax.sort((packed,), num_keys=1)[0] & 0xFF).astype(jnp.uint8)
+    pos = jnp.arange(4 * L, dtype=jnp.int32)[None, :]
+    region = jnp.where(pos < n_res[:, None], region, 0)
+
+    out = jnp.concatenate([jnp.broadcast_to(hdr, (C, 5)), tags, region], axis=1)
+    assert out.shape == (C, B)
+    return out, total.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
+    """Device parse of v2-layout chunk payloads → ((C, L) bcodes, (C, L) xors).
+
+    Tags are slices (static offsets); residual expansion is two single-op
+    sorts: sort #1 orders slot ids by their source byte index (inverse
+    compaction), positional pairing with the region bytes, sort #2 restores
+    slot order. No gathers, no scans.
+    """
+    C, B = payloads.shape
+    assert L % 8 == 0
+    G = L // 8
+    S = 4 * L  # slots
+    tags = payloads[:, 5 : 5 + 3 * G].astype(jnp.uint32).reshape(C, G, 3)
+    tag24 = (tags[:, :, 0] << 16) | (tags[:, :, 1] << 8) | tags[:, :, 2]
+    shifts = (3 * jnp.arange(8, dtype=jnp.uint32)).reshape(1, 1, 8)
+    bcodes = ((tag24[:, :, None] >> shifts) & 7).astype(jnp.int32).reshape(C, L)
+    lens = _glen32(bcodes)
+    cum = jnp.cumsum(lens, axis=1)
+    res_before = cum - lens
+
+    k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    valid = k < lens[:, :, None]
+    rank = jnp.where(valid, res_before[:, :, None] + k, S).astype(jnp.uint32)
+    slot_id = jnp.arange(S, dtype=jnp.uint32).reshape(1, L, 4)
+    sbits = int(S).bit_length()  # bits for slot_id and for rank (max value S)
+    assert 2 * sbits <= 32, f"chunk_len {L} too large for 32-bit sort keys"
+    s1 = jax.lax.sort((((rank << sbits) | slot_id).reshape(C, S),), num_keys=1)[0]
+    slot_by_rank = s1 & ((1 << sbits) - 1)  # j-th: slot reading region byte j
+
+    region = payloads[:, 5 + 3 * G : 5 + 3 * G + S].astype(jnp.uint32)
+    s2 = jax.lax.sort(((slot_by_rank << 8) | region,), num_keys=1)[0]
+    bytes_by_slot = (s2 & 0xFF).reshape(C, L, 4)
+
+    shift = (8 * jnp.clip(lens[:, :, None] - 1 - k, 0, 3)).astype(jnp.uint32)
+    xors = jnp.sum(jnp.where(valid, bytes_by_slot << shift, 0), axis=2).astype(jnp.uint32)
+    return bcodes.astype(jnp.uint8), xors
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def encode_f32_chunks_v2(values: jax.Array, e1: int = 4, e2: int = 10):
+    """All-device encode to v2-layout payloads: (C, L) u32 → ((C, B) u8, sizes)."""
+    bcode, res = predict_f32_chunks(values, e1, e2)
+    return pack_f32_chunks_v2(bcode, res, e1, e2)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def decode_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
+    """All-device decode of v2-layout payloads: parallel parse + replay."""
+    bcodes, xors = parse_f32_chunks_v2(payloads, L, e1, e2)
+    return _replay_impl(bcodes, xors, e1, e2)
+
+
+def relayout_f32_v1_to_v2(payload: np.ndarray) -> np.ndarray:
+    """Host reorder of one reference-layout FP substream into v2 (tags first).
+
+    Pure byte permutation; sizes are identical. Vectorized NumPy (no Python
+    per-group loop): group offsets via the same next[] iteration as the device
+    pointer-jump, then slicing by boolean masks.
+    """
+    p = np.asarray(payload, np.uint8)
+    n = int.from_bytes(p[1:5].tobytes(), "big")
+    G = (n + 7) // 8
+    is_tag = np.zeros(len(p), bool)
+    pos = 5
+    lens_tab = np.array([0, 1, 2, 3, 4, 1, 2, 3], np.int64)
+    for _ in range(G):
+        is_tag[pos : pos + 3] = True
+        tag = (int(p[pos]) << 16) | (int(p[pos + 1]) << 8) | int(p[pos + 2])
+        pos += 3 + int(lens_tab[(tag >> (3 * np.arange(8))) & 7].sum())
+    out = np.concatenate([p[:5], p[5:pos][is_tag[5:pos]], p[5:pos][~is_tag[5:pos]]])
+    return out
+
+
+def relayout_f32_v2_to_v1(payload: np.ndarray) -> np.ndarray:
+    """Host reorder of one v2-layout substream back to the reference layout."""
+    p = np.asarray(payload, np.uint8)
+    n = int.from_bytes(p[1:5].tobytes(), "big")
+    G = (n + 7) // 8
+    tags = p[5 : 5 + 3 * G]
+    res = p[5 + 3 * G :]
+    tag24 = (
+        (tags[0::3].astype(np.int64) << 16)
+        | (tags[1::3].astype(np.int64) << 8)
+        | tags[2::3].astype(np.int64)
+    )
+    lens_tab = np.array([0, 1, 2, 3, 4, 1, 2, 3], np.int64)
+    glen = np.zeros(G, np.int64)
+    for j in range(8):
+        glen += lens_tab[(tag24 >> (3 * j)) & 7]
+    ends = np.cumsum(glen)
+    starts = ends - glen
+    pieces = [p[:5]]
+    for g in range(G):
+        pieces.append(tags[3 * g : 3 * g + 3])
+        pieces.append(res[starts[g] : ends[g]])
+    return np.concatenate(pieces)
 
 
 def _native():
@@ -353,11 +521,13 @@ def _pad_rows(arr: np.ndarray, C: int) -> np.ndarray:
 
 
 def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
-               device_pack: bool = False):
+               device_pack: bool = False, layout: str = "ref"):
     """Encode a flat uint32 stream in TPU chunks.
 
     Returns (payloads (C, B) uint8, sizes (C,) int64, tail_values). The tail
     (n % chunk_len values) is left for the caller's host codec.
+    ``layout="tpu"`` produces v2 payloads (all-device, the fast path);
+    ``"ref"`` produces reference-layout payloads.
     """
     import ctypes
 
@@ -369,6 +539,9 @@ def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10
     if C == 0:
         return np.zeros((0, B), np.uint8), np.zeros(0, np.int64), tail
     chunks = _pad_rows(values_u32[: C * chunk_len].reshape(C, chunk_len), C)
+    if layout == "tpu":
+        out, sizes = encode_f32_chunks_v2(jnp.asarray(chunks), e1, e2)
+        return np.asarray(out)[:C], np.asarray(sizes, dtype=np.int64)[:C], tail
     nat = _native()
     if device_pack or nat is None:
         out, sizes = encode_f32_chunks(jnp.asarray(chunks), e1, e2)
@@ -391,7 +564,7 @@ def encode_f32(values_u32: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10
 
 
 def decode_f32(payloads: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
-               device_parse: bool = False) -> np.ndarray:
+               device_parse: bool = False, layout: str = "ref") -> np.ndarray:
     """Decode (C, B) padded chunk payloads → flat uint32 values."""
     import ctypes
 
@@ -399,6 +572,9 @@ def decode_f32(payloads: np.ndarray, chunk_len: int, e1: int = 4, e2: int = 10,
     C, B = payloads.shape
     if C == 0:
         return np.zeros(0, np.uint32)
+    if layout == "tpu":
+        out = decode_f32_chunks_v2(jnp.asarray(_pad_rows(payloads, C)), chunk_len, e1, e2)
+        return np.asarray(out)[:C].reshape(-1)
     nat = _native()
     if device_parse or nat is None:
         out = decode_f32_chunks(jnp.asarray(_pad_rows(payloads, C)), chunk_len, e1, e2)

@@ -141,7 +141,10 @@ def compress_plane(plane: np.ndarray, block: int = BLOCK, use_tpu: bool | None =
     if C > 0:
         blocks = plane[: C * block].reshape(C, block)
         if use_tpu is None:
-            use_tpu = jax.default_backend() != "cpu"
+            try:
+                use_tpu = jax.default_backend() != "cpu"
+            except Exception:
+                use_tpu = False
         if use_tpu or True:  # jax path works on CPU too; keep one code path
             off, rle = find_matches(jnp.asarray(blocks))
             off, rle = np.asarray(off), np.asarray(rle)
