@@ -51,3 +51,54 @@ def test_f64_chunked_container_tpu_path():
     out, bits = chunked.decode_chunked(a)
     assert bits == 64
     np.testing.assert_array_equal(out, vals)
+
+
+# ---------------------------------------------------------------------------
+# f64 v2 "tpu layout"
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("L", [2, 64, 256])
+@pytest.mark.parametrize("e", [(20, 20), (4, 10)])
+def test_f64_v2_payload_is_relayout_of_reference(L, e):
+    C = 4
+    vals = mesh_like_floats(C * L, seed=L + 5, dtype=np.float64).view(np.uint64)
+    out1, sz1, _ = fp64_jax.encode_f64(vals, L, *e)  # ref layout (native pack)
+    out2, sz2, _ = fp64_jax.encode_f64(vals, L, *e, layout="tpu")
+    np.testing.assert_array_equal(sz1, sz2)
+    for c in range(C):
+        p1 = out1[c, : sz1[c]]
+        p2 = out2[c, : sz2[c]]
+        np.testing.assert_array_equal(fp64_jax.relayout_f64_v1_to_v2(p1), p2)
+        np.testing.assert_array_equal(fp64_jax.relayout_f64_v2_to_v1(p2), p1)
+
+
+@pytest.mark.parametrize("L", [2, 64, 256])
+def test_f64_v2_device_decode_roundtrip(L):
+    C = 4
+    vals = mesh_like_floats(C * L, seed=L + 6, dtype=np.float64).view(np.uint64)
+    out, sizes, _ = fp64_jax.encode_f64(vals, L, 20, 20, layout="tpu")
+    dec = fp64_jax.decode_f64(out, L, 20, 20, layout="tpu")
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_f64_v2_random_bits_roundtrip():
+    r = np.random.default_rng(5)
+    vals = r.integers(0, 2**63, 6 * 128, dtype=np.int64).astype(np.uint64)
+    vals |= r.integers(0, 2, 6 * 128, dtype=np.uint64) << np.uint64(63)
+    out, sizes, _ = fp64_jax.encode_f64(vals, 128, layout="tpu")
+    dec = fp64_jax.decode_f64(out, 128, layout="tpu")
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_f64_tpu_layout_container_roundtrip():
+    from trico_tpu import chunked
+
+    vals = mesh_like_floats(1024 + 33, seed=13, dtype=np.float64).view(np.uint64)
+    a = chunked.encode_chunked(vals, chunk_len=256, use_tpu=True, layout="tpu")
+    b = chunked.encode_chunked(vals, chunk_len=256, use_tpu=False, layout="tpu")
+    assert a == b
+    for use_tpu in (True, False):
+        out, bits = chunked.decode_chunked(a, use_tpu=use_tpu)
+        assert bits == 64
+        np.testing.assert_array_equal(out, vals)

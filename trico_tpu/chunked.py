@@ -92,8 +92,6 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         raise TypeError(values.dtype)
     if layout not in ("ref", "tpu"):
         raise ValueError(f"unknown layout {layout!r}")
-    if bits == 64:
-        layout = "ref"  # f64 v2 layout not yet implemented
     if bits == 32:
         chunk_len = (chunk_len // 8) * 8 or 8
     n = len(values)
@@ -111,11 +109,12 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
 
                 mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2,
                                                      layout=layout)
-            elif native.available():
+            elif native.available() or layout == "tpu":
                 from .codec import fp64_jax
 
                 chunk_len = (chunk_len // 2) * 2 or 2
-                mat, sizes, tail = fp64_jax.encode_f64(values, chunk_len, e1, e2)
+                mat, sizes, tail = fp64_jax.encode_f64(values, chunk_len, e1, e2,
+                                                       layout=layout)
             else:
                 mat, sizes, tail = None, None, None
             if sizes is not None:
@@ -123,13 +122,15 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                 if len(tail):
                     payloads.append(_host_fp_encode(tail, e1, e2))
     if not payloads:
+        from .codec import fp64_jax as _fp64j
         from .codec import fp_jax as _fpj
 
+        _relayout = _fpj.relayout_f32_v1_to_v2 if bits == 32 else _fp64j.relayout_f64_v1_to_v2
         for i in range(n_chunks):
             p = _host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2)
             full = (i + 1) * chunk_len <= n
             if layout == "tpu" and full:
-                p = _fpj.relayout_f32_v1_to_v2(np.frombuffer(p, np.uint8)).tobytes()
+                p = _relayout(np.frombuffer(p, np.uint8)).tobytes()
             payloads.append(p)
 
     flags = (0 if bits == 32 else 1) | (4 if layout == "tpu" else 0)
@@ -225,10 +226,20 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     out = np.empty(total, dtype=dt)
     if use_tpu is None:
         use_tpu = _tpu_available()
-    if bits == 32 and n_full > 0 and (use_tpu or layout == "tpu"):
-        from .codec import fp_jax
+    if bits == 64 and layout == "ref":
+        from . import native
 
-        B = fp_jax.f32_max_chunk_bytes(chunk_len)
+        # the f64 reference-layout device path parses on the host natively
+        use_tpu = use_tpu and native.available()
+    if n_full > 0 and (use_tpu or layout == "tpu"):
+        from .codec import fp64_jax, fp_jax
+
+        if bits == 32:
+            B = fp_jax.f32_max_chunk_bytes(chunk_len)
+            dec, relayout = fp_jax.decode_f32, fp_jax.relayout_f32_v2_to_v1
+        else:
+            B = fp64_jax.f64_max_chunk_bytes(chunk_len)
+            dec, relayout = fp64_jax.decode_f64, fp64_jax.relayout_f64_v2_to_v1
         mat = np.zeros((n_full, B), np.uint8)
         buf = np.frombuffer(data, np.uint8)
         for c in range(n_full):
@@ -239,10 +250,10 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         if layout == "tpu" and not use_tpu:
             # host fallback: relayout each chunk to reference order, host-decode
             for c in range(n_full):
-                p1 = fp_jax.relayout_f32_v2_to_v1(mat[c, : sizes[c]])
-                out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, 32)
+                p1 = relayout(mat[c, : sizes[c]])
+                out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, bits)
         else:
-            out[: n_full * chunk_len] = fp_jax.decode_f32(
+            out[: n_full * chunk_len] = dec(
                 mat, chunk_len, int(e1), int(e2), layout=layout
             )
         start = n_full

@@ -170,8 +170,10 @@ def _split_words(values_u64: np.ndarray):
     return hi, lo
 
 
-def encode_f64(values_u64: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20):
-    """Encode a flat uint64 stream in TPU chunks (device predict + native pack).
+def encode_f64(values_u64: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20,
+               layout: str = "ref"):
+    """Encode a flat uint64 stream in TPU chunks (device predict + native pack
+    for ``layout="ref"``; all-device for ``layout="tpu"`` v2 payloads).
 
     Returns (payloads (C, B) uint8, sizes (C,) int64, tail_values).
     """
@@ -190,6 +192,9 @@ def encode_f64(values_u64: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 2
     hi, lo = _split_words(values_u64[: C * chunk_len])
     hi = _pad_rows(hi.reshape(C, chunk_len), C)
     lo = _pad_rows(lo.reshape(C, chunk_len), C)
+    if layout == "tpu":
+        out, sizes = encode_f64_chunks_v2(jnp.asarray(hi), jnp.asarray(lo), e1, e2)
+        return np.asarray(out)[:C], np.asarray(sizes, dtype=np.int64)[:C], tail
     bcode, rh, rl = predict_f64_chunks(jnp.asarray(hi), jnp.asarray(lo), e1, e2)
     bc_np = np.ascontiguousarray(np.asarray(bcode)[:C])
     rh_np = np.ascontiguousarray(np.asarray(rh)[:C])
@@ -213,7 +218,8 @@ def encode_f64(values_u64: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 2
     return out, sizes.astype(np.int64), tail
 
 
-def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20) -> np.ndarray:
+def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20,
+               layout: str = "ref") -> np.ndarray:
     """Decode (C, B) padded f64 chunk payloads → flat uint64 values."""
     import ctypes
 
@@ -223,6 +229,11 @@ def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20)
     C, B = payloads.shape
     if C == 0:
         return np.zeros(0, np.uint64)
+    if layout == "tpu":
+        vh, vl = decode_f64_chunks_v2(jnp.asarray(_pad_rows(payloads, C)), chunk_len, e1, e2)
+        vh = np.asarray(vh)[:C].astype(np.uint64)
+        vl = np.asarray(vl)[:C].astype(np.uint64)
+        return ((vh << np.uint64(32)) | vl).reshape(-1)
     lib = native.get_lib()
     payloads = np.ascontiguousarray(payloads)
     bcodes = np.zeros((C, chunk_len), np.uint8)
@@ -244,3 +255,147 @@ def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20)
     vh = np.asarray(vh)[:C].astype(np.uint64)
     vl = np.asarray(vl)[:C].astype(np.uint64)
     return ((vh << np.uint64(32)) | vl).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# v2 "TPU layout" for f64 chunks (see fp_jax.py): [5B header][G tag bytes]
+# [residual bytes in value order]. Pure permutation of the reference layout;
+# decode is gather-free (slices + cumsums + two single-op sorts).
+# ---------------------------------------------------------------------------
+
+
+def _glen64(bc):
+    """f64 residual byte length: bcode 0..8 -> that many FCM bytes, 9..15 ->
+    bcode-8 DFCM bytes (reference fps.c:421-561)."""
+    bc = bc.astype(jnp.int32)
+    return jnp.where(bc > 8, bc - 8, bc)
+
+
+def _res_byte64(rhi, rlo, b_idx):
+    """Byte ``b_idx`` (0 = LSB) of the 64-bit residual carried as u32 words."""
+    lo_b = (rlo[:, :, None] >> (8 * jnp.clip(b_idx, 0, 3)).astype(jnp.uint32)) & 0xFF
+    hi_b = (rhi[:, :, None] >> (8 * jnp.clip(b_idx - 4, 0, 3)).astype(jnp.uint32)) & 0xFF
+    return jnp.where(b_idx < 4, lo_b, hi_b)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def pack_f64_chunks_v2(bcode: jax.Array, rhi: jax.Array, rlo: jax.Array,
+                       e1: int = 20, e2: int = 20):
+    """Device packing into f64 v2 layout: (C, L) (bcode, res hi/lo) →
+    ((C, B) u8 payloads, (C,) sizes)."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = bcode.shape
+    G = L // 2
+    B = f64_max_chunk_bytes(L)
+    bcode = bcode.astype(jnp.int32)
+    length = _glen64(bcode)
+    cum = jnp.cumsum(length, axis=1)
+    res_before = cum - length
+    n_res = cum[:, -1]
+    total = 5 + G + n_res
+
+    hdr = jnp.array(
+        [((e1 >> 1) << 4) | (e2 >> 1), (L >> 24) & 0xFF, (L >> 16) & 0xFF,
+         (L >> 8) & 0xFF, L & 0xFF],
+        dtype=jnp.uint8,
+    )
+    bc_mat = bcode.reshape(C, G, 2)
+    tags = (bc_mat[:, :, 0] | (bc_mat[:, :, 1] << 4)).astype(jnp.uint8)
+
+    S = 8 * L
+    k = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    b_idx = length[:, :, None] - 1 - k  # big-endian: byte k stores this LSB index
+    res_bytes = _res_byte64(rhi, rlo, b_idx).astype(jnp.uint32)
+    valid = k < length[:, :, None]
+    dest = jnp.where(valid, res_before[:, :, None] + k, S)
+    packed = (dest.astype(jnp.uint32).reshape(C, S) << 8) | res_bytes.reshape(C, S)
+    region = (jax.lax.sort((packed,), num_keys=1)[0] & 0xFF).astype(jnp.uint8)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    region = jnp.where(pos < n_res[:, None], region, 0)
+
+    out = jnp.concatenate([jnp.broadcast_to(hdr, (C, 5)), tags, region], axis=1)
+    assert out.shape == (C, B)
+    return out, total.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def parse_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20):
+    """Device parse of f64 v2 payloads → (bcodes (C,L) u8, xor hi/lo (C,L) u32)."""
+    C, B = payloads.shape
+    assert L % 2 == 0
+    G = L // 2
+    S = 8 * L
+    tags = payloads[:, 5 : 5 + G].astype(jnp.int32)
+    bcodes = jnp.stack([tags & 15, (tags >> 4) & 15], axis=2).reshape(C, L)
+    lens = _glen64(bcodes)
+    cum = jnp.cumsum(lens, axis=1)
+    res_before = cum - lens
+
+    k = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    valid = k < lens[:, :, None]
+    rank = jnp.where(valid, res_before[:, :, None] + k, S).astype(jnp.uint32)
+    slot_id = jnp.arange(S, dtype=jnp.uint32).reshape(1, L, 8)
+    sbits = int(S).bit_length()
+    assert 2 * sbits <= 32, f"chunk_len {L} too large for 32-bit sort keys"
+    s1 = jax.lax.sort((((rank << sbits) | slot_id).reshape(C, S),), num_keys=1)[0]
+    slot_by_rank = s1 & ((1 << sbits) - 1)
+
+    region = payloads[:, 5 + G : 5 + G + S].astype(jnp.uint32)
+    s2 = jax.lax.sort(((slot_by_rank << 8) | region,), num_keys=1)[0]
+    bytes_by_slot = (s2 & 0xFF).reshape(C, L, 8)
+
+    b_idx = lens[:, :, None] - 1 - k
+    sh = (8 * jnp.clip(b_idx, 0, 3)).astype(jnp.uint32)
+    lo_part = jnp.where(valid & (b_idx < 4), bytes_by_slot << sh, 0)
+    sh_hi = (8 * jnp.clip(b_idx - 4, 0, 3)).astype(jnp.uint32)
+    hi_part = jnp.where(valid & (b_idx >= 4), bytes_by_slot << sh_hi, 0)
+    xlo = jnp.sum(lo_part, axis=2).astype(jnp.uint32)
+    xhi = jnp.sum(hi_part, axis=2).astype(jnp.uint32)
+    return bcodes.astype(jnp.uint8), xhi, xlo
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20):
+    """All-device f64 encode to v2 payloads: (C, L) hi/lo u32 → ((C, B) u8, sizes)."""
+    bcode, rh, rl = predict_f64_chunks(hi, lo, e1, e2)
+    return pack_f64_chunks_v2(bcode, rh, rl, e1, e2)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def decode_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20):
+    """All-device f64 decode of v2 payloads → (hi, lo) u32 value words."""
+    bcodes, xhi, xlo = parse_f64_chunks_v2(payloads, L, e1, e2)
+    return replay_f64_chunks(bcodes, xhi, xlo, e1, e2)
+
+
+def relayout_f64_v1_to_v2(payload: np.ndarray) -> np.ndarray:
+    """Host reorder of one reference-layout f64 substream into v2 (tags first)."""
+    p = np.asarray(payload, np.uint8)
+    n = int.from_bytes(p[1:5].tobytes(), "big")
+    G = (n + 1) // 2
+    lens_tab = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 1, 2, 3, 4, 5, 6, 7], np.int64)
+    is_tag = np.zeros(len(p), bool)
+    pos = 5
+    for _ in range(G):
+        is_tag[pos] = True
+        tag = int(p[pos])
+        pos += 1 + int(lens_tab[tag & 15] + lens_tab[(tag >> 4) & 15])
+    return np.concatenate([p[:5], p[5:pos][is_tag[5:pos]], p[5:pos][~is_tag[5:pos]]])
+
+
+def relayout_f64_v2_to_v1(payload: np.ndarray) -> np.ndarray:
+    """Host reorder of one f64 v2 substream back to the reference layout."""
+    p = np.asarray(payload, np.uint8)
+    n = int.from_bytes(p[1:5].tobytes(), "big")
+    G = (n + 1) // 2
+    tags = p[5 : 5 + G]
+    res = p[5 + G :]
+    lens_tab = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 1, 2, 3, 4, 5, 6, 7], np.int64)
+    glen = lens_tab[tags & 15] + lens_tab[(tags >> 4) & 15]
+    ends = np.cumsum(glen)
+    starts = ends - glen
+    pieces = [p[:5]]
+    for g in range(G):
+        pieces.append(tags[g : g + 1])
+        pieces.append(res[starts[g] : ends[g]])
+    return np.concatenate(pieces)
