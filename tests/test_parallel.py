@@ -8,7 +8,7 @@ import jax
 import numpy as np
 import pytest
 
-from trico_tpu.codec import fp_ref
+from trico_tpu.codec import fp_jax, fp_ref
 from trico_tpu.parallel import mesh_codec
 from conftest import mesh_like_floats
 
@@ -28,7 +28,11 @@ def test_sharded_encode_matches_oracle():
     assert payloads.shape[:2] == (3, 40)
     for p in range(3):
         for c in range(40):
-            expect = fp_ref.compress(planes[p, c * L : (c + 1) * L], 4, 10)
+            # sharded encode emits v2 tpu-layout payloads: byte-permutation of
+            # the oracle's reference-layout output, identical size
+            expect = fp_jax.relayout_f32_v1_to_v2(
+                np.frombuffer(fp_ref.compress(planes[p, c * L : (c + 1) * L], 4, 10), np.uint8)
+            ).tobytes()
             assert payloads[p, c, : sizes[p, c]].tobytes() == expect
     # offsets = exclusive scan in (plane, chunk) order → deterministic layout
     flat = sizes.reshape(-1)
@@ -91,7 +95,8 @@ def test_point_cloud_archive_sharded():
             parts.append(_host_fp_encode(tails[p], 4, 10))
         import struct
 
-        head = struct.pack("<BBIII", 1, 0, 4096, n, len(parts))
+        # flags bit 2: sharded encode_planes emits v2 tpu-layout chunks
+        head = struct.pack("<BBIII", 1, 4, 4096, n, len(parts))
         sizes_blob = struct.pack(f"<{len(parts)}I", *[len(x) for x in parts])
         blob = head + sizes_blob + b"".join(parts)
         out, bits = chunked.decode_chunked(blob)

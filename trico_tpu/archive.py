@@ -103,7 +103,8 @@ class ArchiveWriter:
     reference-compatible version-0 archives.
     """
 
-    def __init__(self, use_native: bool = True, chunk_len: int | None = None):
+    def __init__(self, use_native: bool = True, chunk_len: int | None = None,
+                 layout: str | None = None):
         self._fp_enc, _, self._lz4_c, _ = _backends(use_native)
         self._chunk_len = chunk_len
         version = 1 if chunk_len else VERSION
@@ -112,9 +113,16 @@ class ArchiveWriter:
             from . import chunked as _chunked
 
             cl = chunk_len
+            # Chunk layout: v2 "tpu" (tags-first, gather-free device decode)
+            # when a device backend is up, reference layout otherwise (the
+            # host codec would pay a per-chunk relayout for no benefit).
+            # Sizes are identical either way; the container is self-describing.
+            if layout is None:
+                layout = "tpu" if _chunked._tpu_available() else "ref"
+            lay = layout
 
             def _enc(vals, e1, e2):
-                return _chunked.encode_chunked(vals, cl, e1, e2)
+                return _chunked.encode_chunked(vals, cl, e1, e2, layout=lay)
 
             self._fp_enc = _enc
             self._lz4_c = _chunked.encode_lz4_chunked

@@ -52,7 +52,8 @@ def _sharded_encode(values, e1, e2, n_planes, mesh):
     """
     spec = NamedSharding(mesh, P(None, "chunks", None))
     values = jax.lax.with_sharding_constraint(values, spec)
-    enc = lambda v: fp_jax.encode_f32_chunks(v, e1, e2)
+    # v2 tpu-layout payloads: encode AND decode are gather-free on device
+    enc = lambda v: fp_jax.encode_f32_chunks_v2(v, e1, e2)
     payloads, sizes = jax.vmap(enc)(values)  # (p, C, B), (p, C)
     # deterministic archive layout: exclusive scan of sizes in (plane, chunk)
     # order — replicated result, so every device knows every offset
@@ -95,7 +96,7 @@ def encode_planes(planes: np.ndarray, chunk_len: int = 4096, e1: int = 4,
 def _sharded_decode(payloads, L, e1, e2, mesh):
     spec = NamedSharding(mesh, P(None, "chunks", None))
     payloads = jax.lax.with_sharding_constraint(payloads, spec)
-    dec = lambda pl: fp_jax.decode_f32_chunks(pl, L, e1, e2)
+    dec = lambda pl: fp_jax.decode_f32_chunks_v2(pl, L, e1, e2)
     return jax.vmap(dec)(payloads)
 
 
