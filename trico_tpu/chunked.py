@@ -61,6 +61,30 @@ def _host_fp_encode(vals, e1, e2):
     return fp_ref.compress(vals, e1, e2)
 
 
+def _relayout_payload(payload: bytes, bits: int, to_v2: bool) -> bytes:
+    """Single-payload v1<->v2 relayout: native (threaded memcpy walk) when
+    available, NumPy helper otherwise."""
+    from . import native
+
+    buf = np.frombuffer(payload, np.uint8)
+    if native.available():
+        return native.relayout_chunks(buf[None, :], _payload_count(buf, bits),
+                                      bits, to_v2)[0].tobytes()
+    from .codec import fp64_jax, fp_jax
+
+    if bits == 32:
+        fn = fp_jax.relayout_f32_v1_to_v2 if to_v2 else fp_jax.relayout_f32_v2_to_v1
+    else:
+        fn = fp64_jax.relayout_f64_v1_to_v2 if to_v2 else fp64_jax.relayout_f64_v2_to_v1
+    return fn(buf).tobytes()
+
+
+def _payload_count(buf: np.ndarray, bits: int) -> int:
+    n = int.from_bytes(buf[1:5].tobytes(), "big")
+    group = 8 if bits == 32 else 2
+    return ((n + group - 1) // group) * group
+
+
 def _host_fp_decode(payload, bits):
     from . import native
 
@@ -78,7 +102,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     backend is available (or when ``use_tpu=True``); everything else uses the
     host codec. Output bytes are identical either way for a given ``layout``
     ("ref" = reference chunk layout; "tpu" = v2 tags-first layout, the fast
-    gather-free device decode path — f32 only for now).
+    gather-free device decode path — both widths).
     """
     if values.dtype == np.uint32:
         bits = 32
@@ -122,15 +146,11 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                 if len(tail):
                     payloads.append(_host_fp_encode(tail, e1, e2))
     if not payloads:
-        from .codec import fp64_jax as _fp64j
-        from .codec import fp_jax as _fpj
-
-        _relayout = _fpj.relayout_f32_v1_to_v2 if bits == 32 else _fp64j.relayout_f64_v1_to_v2
         for i in range(n_chunks):
             p = _host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2)
             full = (i + 1) * chunk_len <= n
             if layout == "tpu" and full:
-                p = _relayout(np.frombuffer(p, np.uint8)).tobytes()
+                p = _relayout_payload(p, bits, to_v2=True)
             payloads.append(p)
 
     flags = (0 if bits == 32 else 1) | (4 if layout == "tpu" else 0)
@@ -248,10 +268,20 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         e1 = (mat[0, 0] >> 4) << 1
         e2 = (mat[0, 0] & 15) << 1
         if layout == "tpu" and not use_tpu:
-            # host fallback: relayout each chunk to reference order, host-decode
-            for c in range(n_full):
-                p1 = relayout(mat[c, : sizes[c]])
-                out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, bits)
+            # host fallback: relayout chunks to reference order (batched native
+            # when available), then host-decode
+            from . import native
+
+            if native.available():
+                mat1 = native.relayout_chunks(mat, chunk_len, bits, to_v2=False)
+                for c in range(n_full):
+                    out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(
+                        mat1[c, : sizes[c]], bits
+                    )
+            else:
+                for c in range(n_full):
+                    p1 = relayout(mat[c, : sizes[c]])
+                    out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, bits)
         else:
             out[: n_full * chunk_len] = dec(
                 mat, chunk_len, int(e1), int(e2), layout=layout

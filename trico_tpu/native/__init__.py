@@ -85,6 +85,10 @@ def get_lib():
         lib.tt_fp64_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
         lib.tt_fp64_parse_chunks.restype = i64
         lib.tt_fp64_parse_chunks.argtypes = [p, i64, i64, i64, p, p]
+        lib.tt_fp32_relayout_chunks.restype = i64
+        lib.tt_fp32_relayout_chunks.argtypes = [p, i64, i64, i64, ctypes.c_int32, p]
+        lib.tt_fp64_relayout_chunks.restype = i64
+        lib.tt_fp64_relayout_chunks.argtypes = [p, i64, i64, i64, ctypes.c_int32, p]
         lib.tt_shuffle_bytes.restype = None
         lib.tt_shuffle_bytes.argtypes = [p, i64, ctypes.c_int32, p]
         lib.tt_unshuffle_bytes.restype = None
@@ -138,6 +142,22 @@ def fp_decode(data, bits: int) -> np.ndarray:
         rc = lib.tt_fp64_decode(_ptr(buf), len(buf), _ptr(out), n, ctypes.byref(n_out))
     if rc < 0:
         raise ValueError(f"corrupt FP substream (rc={rc})")
+    return out
+
+
+def relayout_chunks(mat: np.ndarray, L: int, bits: int, to_v2: bool) -> np.ndarray:
+    """Batch v1<->v2 chunk relayout of a padded (C, B) payload matrix.
+
+    Pure byte permutation per chunk (multithreaded native walk); the returned
+    matrix has identical per-chunk sizes."""
+    lib = get_lib()
+    mat = np.ascontiguousarray(mat)
+    C, B = mat.shape
+    out = np.zeros_like(mat)
+    fn = lib.tt_fp32_relayout_chunks if bits == 32 else lib.tt_fp64_relayout_chunks
+    rc = fn(_ptr(mat), C, B, L, 1 if to_v2 else 0, _ptr(out))
+    if rc != 0:
+        raise RuntimeError("native relayout failed")
     return out
 
 

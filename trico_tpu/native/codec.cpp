@@ -16,11 +16,35 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
+
+// Run f(c) for c in [0, C) across hardware threads (chunks are uniform,
+// disjoint-output work items; static partition keeps it deterministic).
+template <class F>
+void par_chunks(int64_t C, F&& f) {
+  unsigned T = std::thread::hardware_concurrency();
+  if (T > 16) T = 16;
+  if (T < 2 || C < 8) {
+    for (int64_t c = 0; c < C; ++c) f(c);
+    return;
+  }
+  std::vector<std::thread> th;
+  th.reserve(T);
+  int64_t per = (C + T - 1) / T;
+  for (unsigned t = 0; t < T; ++t) {
+    int64_t lo = int64_t(t) * per, hi = lo + per < C ? lo + per : C;
+    if (lo >= hi) break;
+    th.emplace_back([f, lo, hi] {
+      for (int64_t c = lo; c < hi; ++c) f(c);
+    });
+  }
+  for (auto& x : th) x.join();
+}
 
 inline uint32_t load32(const uint8_t* p) {
   uint32_t v;
@@ -250,7 +274,7 @@ EXPORT int64_t tt_fp32_pack_chunks(const uint8_t* bcodes, const uint32_t* res,
   if (e1 > 30) e1 = 30;
   e2 = (e2 >> 1) << 1;
   if (e2 > 30) e2 = 30;
-  for (int64_t c = 0; c < C; ++c) {
+  par_chunks(C, [=](int64_t c) {
     const uint8_t* bc = bcodes + c * L;
     const uint32_t* rs = res + c * L;
     uint8_t* p = out + c * stride;
@@ -270,7 +294,7 @@ EXPORT int64_t tt_fp32_pack_chunks(const uint8_t* bcodes, const uint32_t* res,
       }
     }
     sizes[c] = int32_t(p - p0);
-  }
+  });
   return 0;
 }
 
@@ -278,7 +302,7 @@ EXPORT int64_t tt_fp32_parse_chunks(const uint8_t* in, int64_t C,
                                     int64_t stride, int64_t L, uint8_t* bcodes,
                                     uint32_t* xors) {
   if (L % 8 != 0) return -1;
-  for (int64_t c = 0; c < C; ++c) {
+  par_chunks(C, [=](int64_t c) {
     const uint8_t* p = in + c * stride + 5;  // skip hash_info + count
     uint8_t* bc = bcodes + c * L;
     uint32_t* xr = xors + c * L;
@@ -294,7 +318,7 @@ EXPORT int64_t tt_fp32_parse_chunks(const uint8_t* in, int64_t C,
         xr[g * 8 + k] = x;
       }
     }
-  }
+  });
   return 0;
 }
 
@@ -307,7 +331,7 @@ EXPORT int64_t tt_fp64_pack_chunks(const uint8_t* bcodes, const uint64_t* res,
   if (e1 > 30) e1 = 30;
   e2 = (e2 >> 1) << 1;
   if (e2 > 30) e2 = 30;
-  for (int64_t c = 0; c < C; ++c) {
+  par_chunks(C, [=](int64_t c) {
     const uint8_t* bc = bcodes + c * L;
     const uint64_t* rs = res + c * L;
     uint8_t* p = out + c * stride;
@@ -323,7 +347,7 @@ EXPORT int64_t tt_fp64_pack_chunks(const uint8_t* bcodes, const uint64_t* res,
       put_be(p, rs[g * 2 + 1], len1);
     }
     sizes[c] = int32_t(p - p0);
-  }
+  });
   return 0;
 }
 
@@ -331,7 +355,7 @@ EXPORT int64_t tt_fp64_parse_chunks(const uint8_t* in, int64_t C,
                                     int64_t stride, int64_t L, uint8_t* bcodes,
                                     uint64_t* xors) {
   if (L % 2 != 0) return -1;
-  for (int64_t c = 0; c < C; ++c) {
+  par_chunks(C, [=](int64_t c) {
     const uint8_t* p = in + c * stride + 5;
     uint8_t* bc = bcodes + c * L;
     uint64_t* xr = xors + c * L;
@@ -347,7 +371,103 @@ EXPORT int64_t tt_fp64_parse_chunks(const uint8_t* in, int64_t C,
         xr[g * 2 + k] = x;
       }
     }
-  }
+  });
+  return 0;
+}
+
+// -------------------------------------------- v1 <-> v2 chunk relayout
+//
+// v2 "tpu layout" (trico_tpu/codec/fp_jax.py): same 5-byte header, then ALL
+// group tags, then residual bytes in value order — a pure byte permutation of
+// the reference layout (identical sizes). These helpers convert padded chunk
+// matrices in either direction at memory bandwidth.
+
+EXPORT int64_t tt_fp32_relayout_chunks(const uint8_t* in, int64_t C,
+                                       int64_t stride, int64_t L, int to_v2,
+                                       uint8_t* out) {
+  if (L % 8 != 0) return -1;
+  const int64_t G = L / 8;
+  par_chunks(C, [=](int64_t c) {
+    const uint8_t* p = in + c * stride;
+    uint8_t* q = out + c * stride;
+    std::memcpy(q, p, 5);
+    if (to_v2) {
+      const uint8_t* s = p + 5;
+      uint8_t* qt = q + 5;
+      uint8_t* qr = q + 5 + 3 * G;
+      for (int64_t g = 0; g < G; ++g) {
+        uint32_t tag = (uint32_t(s[0]) << 16) | (uint32_t(s[1]) << 8) | s[2];
+        std::memcpy(qt, s, 3);
+        qt += 3;
+        s += 3;
+        int glen = 0;
+        for (int k = 0; k < 8; ++k) {
+          int b = (tag >> (3 * k)) & 7;
+          glen += (b <= 4) ? b : b - 4;
+        }
+        std::memcpy(qr, s, size_t(glen));
+        qr += glen;
+        s += glen;
+      }
+    } else {
+      const uint8_t* st = p + 5;
+      const uint8_t* sr = p + 5 + 3 * G;
+      uint8_t* qq = q + 5;
+      for (int64_t g = 0; g < G; ++g) {
+        uint32_t tag = (uint32_t(st[0]) << 16) | (uint32_t(st[1]) << 8) | st[2];
+        std::memcpy(qq, st, 3);
+        qq += 3;
+        st += 3;
+        int glen = 0;
+        for (int k = 0; k < 8; ++k) {
+          int b = (tag >> (3 * k)) & 7;
+          glen += (b <= 4) ? b : b - 4;
+        }
+        std::memcpy(qq, sr, size_t(glen));
+        qq += glen;
+        sr += glen;
+      }
+    }
+  });
+  return 0;
+}
+
+EXPORT int64_t tt_fp64_relayout_chunks(const uint8_t* in, int64_t C,
+                                       int64_t stride, int64_t L, int to_v2,
+                                       uint8_t* out) {
+  if (L % 2 != 0) return -1;
+  const int64_t G = L / 2;
+  par_chunks(C, [=](int64_t c) {
+    const uint8_t* p = in + c * stride;
+    uint8_t* q = out + c * stride;
+    std::memcpy(q, p, 5);
+    auto len_of = [](int b) { return (b <= 8) ? b : b - 8; };
+    if (to_v2) {
+      const uint8_t* s = p + 5;
+      uint8_t* qt = q + 5;
+      uint8_t* qr = q + 5 + G;
+      for (int64_t g = 0; g < G; ++g) {
+        uint8_t tag = *s++;
+        *qt++ = tag;
+        int glen = len_of(tag & 15) + len_of((tag >> 4) & 15);
+        std::memcpy(qr, s, size_t(glen));
+        qr += glen;
+        s += glen;
+      }
+    } else {
+      const uint8_t* st = p + 5;
+      const uint8_t* sr = p + 5 + G;
+      uint8_t* qq = q + 5;
+      for (int64_t g = 0; g < G; ++g) {
+        uint8_t tag = *st++;
+        *qq++ = tag;
+        int glen = len_of(tag & 15) + len_of((tag >> 4) & 15);
+        std::memcpy(qq, sr, size_t(glen));
+        qq += glen;
+        sr += glen;
+      }
+    }
+  });
   return 0;
 }
 
