@@ -132,8 +132,9 @@ def host_fallback(n_values: int):
 
 
 def bunny_extra():
-    """Compressed bunny size via the host path (reference's own output: 584,613 B
-    for vertices+triangles with its LZ4; published .trc 571 KB incl. CLI order)."""
+    """Compressed bunny size via the host path with adaptive per-plane hash
+    exponents (reference's own output: 584,613 B for vertices+triangles;
+    published .trc 571 KB = 584,704 B)."""
     try:
         import numpy as np
 

@@ -81,3 +81,47 @@ class TestLZ4Interop:
             ours += len(native.lz4_compress(plane))
             theirs += len(ref_oracle.ref_lz4_compress(plane))
         assert ours <= theirs * 1.05, (ours, theirs)
+
+
+@pytest.mark.parametrize("e", [(2, 8), (8, 14), (12, 18), (16, 20), (20, 22)])
+def test_reference_decodes_adaptive_exponent_bytes(e):
+    """Every adaptive-candidate exponent pair stays reference-decodable
+    (hash_info is self-describing, fps.c:120-121/214-217)."""
+    vals = mesh_like_floats(9999, seed=e[1]).view(np.uint32)
+    comp = fp_ref.compress(vals, *e)
+    assert comp == ref_oracle.ref_fp_compress(vals, *e)
+    np.testing.assert_array_equal(ref_oracle.ref_fp_decompress(comp, 32), vals)
+
+
+def test_reference_decodes_adaptive_archive(bunny_path):
+    """A full adaptive-exponent v0 archive (the writer default) must be
+    readable by the reference library, and smaller than its own output."""
+    import ctypes
+
+    from trico_tpu.archive import ArchiveWriter
+    from trico_tpu.io import stl
+
+    lib = ref_oracle.get()
+    verts, tris = stl.read_stl(bunny_path)
+    w = ArchiveWriter()
+    w.write_vertices(verts)
+    w.write_triangles(tris)
+    blob = w.tobytes()
+    assert len(blob) <= 584613  # reference's own output for these two streams
+
+    lib.trico_read_vertices.restype = ctypes.c_int
+    lib.trico_read_vertices.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.trico_read_triangles.restype = ctypes.c_int
+    lib.trico_read_triangles.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    buf = ctypes.create_string_buffer(blob, len(blob))
+    arch = lib.trico_open_archive_for_reading(buf, len(blob))
+    assert arch
+    vout = np.zeros_like(verts)
+    pv = ctypes.c_void_p(vout.ctypes.data)
+    assert lib.trico_read_vertices(arch, ctypes.byref(pv))
+    np.testing.assert_array_equal(vout.view(np.uint32), verts.view(np.uint32))
+    tout = np.zeros_like(tris)
+    pt = ctypes.c_void_p(tout.ctypes.data)
+    assert lib.trico_read_triangles(arch, ctypes.byref(pt))
+    np.testing.assert_array_equal(tout, tris)
+    lib.trico_close_archive(arch)
