@@ -113,3 +113,83 @@ def test_v2_random_bits_roundtrip():
     out, sizes, _ = fp_jax.encode_f32(vals, 128, layout="tpu")
     dec = fp_jax.decode_f32(out, 128, layout="tpu")
     np.testing.assert_array_equal(dec, vals)
+
+
+# ---------------------------------------------------------------------------
+# monotone log-shift network stress tests (the primitive everything rests on)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("S", [16, 128, 1024])
+def test_logshift_compact_expand_random(S, seed):
+    """Compaction then expansion over random monotone partial permutations
+    must be lossless for every live element (adversarial: random validity,
+    random payloads, including all-dead and all-live rows)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    C = 6
+    valid = rng.random((C, S)) < rng.random((C, 1))  # varied density per row
+    valid[0] = False  # all dead
+    valid[1] = True  # all live
+    payload = rng.integers(0, 256, (C, S), dtype=np.uint32)
+    # dest of live element at p = number of live elements before p
+    dest = np.cumsum(valid, axis=1) - valid
+    move = np.where(valid, np.arange(S)[None, :] - dest, 0)
+
+    compacted = np.asarray(
+        fp_jax._compact_monotone(
+            jnp.asarray(payload), jnp.asarray(move), jnp.asarray(valid), 8
+        )
+    )
+    for c in range(C):
+        live = payload[c][valid[c]]
+        np.testing.assert_array_equal(compacted[c, : len(live)], live)
+
+    # expansion: move compacted elements back out to their original slots
+    n_live = valid.sum(axis=1)
+    ranks = np.arange(S)[None, :]
+    rvalid = ranks < n_live[:, None]
+    # slot of rank r = index of r-th live slot
+    slot_by_rank = np.full((C, S), 0, np.int64)
+    for c in range(C):
+        idx = np.flatnonzero(valid[c])
+        slot_by_rank[c, : len(idx)] = idx
+    expanded = np.asarray(
+        fp_jax._expand_monotone(
+            jnp.asarray(compacted),
+            jnp.asarray(slot_by_rank - ranks),
+            jnp.asarray(rvalid),
+            8,
+        )
+    )
+    for c in range(C):
+        np.testing.assert_array_equal(expanded[c][valid[c]], payload[c][valid[c]])
+
+
+def test_logshift_max_displacement():
+    """Single live element moving the full width (worst-case shift S-1)."""
+    import jax.numpy as jnp
+
+    S = 256
+    payload = np.zeros((1, S), np.uint32)
+    payload[0, S - 1] = 0xAB
+    valid = np.zeros((1, S), bool)
+    valid[0, S - 1] = True
+    move = np.where(valid, S - 1, 0)
+    out = np.asarray(
+        fp_jax._compact_monotone(
+            jnp.asarray(payload), jnp.asarray(move), jnp.asarray(valid), 8
+        )
+    )
+    assert out[0, 0] == 0xAB
+    back = np.asarray(
+        fp_jax._expand_monotone(
+            jnp.asarray(out),
+            jnp.asarray(move[:, ::-1] * 0 + np.where(np.arange(S) == 0, S - 1, 0)[None, :]),
+            jnp.asarray(np.arange(S)[None, :] == 0),
+            8,
+        )
+    )
+    assert back[0, S - 1] == 0xAB

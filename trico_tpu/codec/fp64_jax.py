@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fp_jax import _SCAN_UNROLL, _onehot_read, _onehot_write, _pad_rows
+from .fp_jax import (
+    _SCAN_UNROLL,
+    _compact_monotone,
+    _expand_monotone,
+    _onehot_read,
+    _onehot_write,
+    _pad_rows,
+)
 
 
 def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
@@ -260,7 +267,7 @@ def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20,
 # ---------------------------------------------------------------------------
 # v2 "TPU layout" for f64 chunks (see fp_jax.py): [5B header][G tag bytes]
 # [residual bytes in value order]. Pure permutation of the reference layout;
-# decode is gather-free (slices + cumsums + two single-op sorts).
+# decode is gather-free (slices + cumsums + two monotone log-shift networks).
 # ---------------------------------------------------------------------------
 
 
@@ -306,10 +313,12 @@ def pack_f64_chunks_v2(bcode: jax.Array, rhi: jax.Array, rlo: jax.Array,
     k = jnp.arange(8, dtype=jnp.int32)[None, None, :]
     b_idx = length[:, :, None] - 1 - k  # big-endian: byte k stores this LSB index
     res_bytes = _res_byte64(rhi, rlo, b_idx).astype(jnp.uint32)
-    valid = k < length[:, :, None]
-    dest = jnp.where(valid, res_before[:, :, None] + k, S)
-    packed = (dest.astype(jnp.uint32).reshape(C, S) << 8) | res_bytes.reshape(C, S)
-    region = (jax.lax.sort((packed,), num_keys=1)[0] & 0xFF).astype(jnp.uint8)
+    valid = jnp.broadcast_to(k < length[:, :, None], (C, L, 8)).reshape(C, S)
+    # monotone log-shift compaction (see fp_jax._compact_monotone): candidate
+    # byte k of value i moves left by 8*i - res_before[i]
+    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    move = jnp.broadcast_to(8 * i - res_before[:, :, None], (C, L, 8)).reshape(C, S)
+    region = _compact_monotone(res_bytes.reshape(C, S), move, valid, 8).astype(jnp.uint8)
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     region = jnp.where(pos < n_res[:, None], region, 0)
 
@@ -331,18 +340,24 @@ def parse_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20)
     cum = jnp.cumsum(lens, axis=1)
     res_before = cum - lens
 
+    n_res = cum[:, -1]
     k = jnp.arange(8, dtype=jnp.int32)[None, None, :]
     valid = k < lens[:, :, None]
-    rank = jnp.where(valid, res_before[:, :, None] + k, S).astype(jnp.uint32)
-    slot_id = jnp.arange(S, dtype=jnp.uint32).reshape(1, L, 8)
-    sbits = int(S).bit_length()
-    assert 2 * sbits <= 32, f"chunk_len {L} too large for 32-bit sort keys"
-    s1 = jax.lax.sort((((rank << sbits) | slot_id).reshape(C, S),), num_keys=1)[0]
-    slot_by_rank = s1 & ((1 << sbits) - 1)
+    # monotone log-shift inverse of the pack compaction (see fp_jax): compact
+    # slot ids to rank order, then expand region bytes back to their slots.
+    sbits = max(S - 1, 1).bit_length()
+    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    move = jnp.broadcast_to(8 * i - res_before[:, :, None], (C, L, 8)).reshape(C, S)
+    slot_id = jnp.broadcast_to(jnp.arange(S, dtype=jnp.uint32).reshape(1, S), (C, S))
+    slot_by_rank = _compact_monotone(
+        slot_id, move, valid.reshape(C, S), sbits
+    ).astype(jnp.int32)
 
     region = payloads[:, 5 + G : 5 + G + S].astype(jnp.uint32)
-    s2 = jax.lax.sort(((slot_by_rank << 8) | region,), num_keys=1)[0]
-    bytes_by_slot = (s2 & 0xFF).reshape(C, L, 8)
+    ranks = jnp.arange(S, dtype=jnp.int32)[None, :]
+    bytes_by_slot = _expand_monotone(
+        region, slot_by_rank - ranks, ranks < n_res[:, None], 8
+    ).reshape(C, L, 8)
 
     b_idx = lens[:, :, None] - 1 - k
     sh = (8 * jnp.clip(b_idx, 0, 3)).astype(jnp.uint32)

@@ -19,9 +19,10 @@ TPU mapping (measured on v5e):
   - host path: the native C++ packer (``tt_fp32_pack_chunks``) marshals
     (bcode, residual) arrays at memory bandwidth — used by the production
     numpy-facing API;
-  - device path: a single 2-operand ``lax.sort`` per chunk row compacts
-    (destination, byte) pairs — sorts are the one fast reordering primitive
-    on TPU (vmapped searchsorted measured 200x slower).
+  - device path: byte displacements are monotone in stream order, so
+    compaction runs as a log-shift network (~log2(4L) shifted-select passes,
+    several times cheaper than a bitonic ``lax.sort``; vmapped searchsorted
+    measured 200x slower than either).
 * Decode parses tags with a scan over groups, then replays the predictors
   with the same one-hot table scan.
 """
@@ -161,8 +162,10 @@ def _bcode_res_from_xors(xor1, xor2):
 def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10):
     """All-device byte packing: (C, L) (bcode, res) → ((C, B) uint8, (C,) sizes).
 
-    Sort-based stream compaction: every candidate byte (header, tag, residual)
-    gets a destination offset; one stable 2-operand sort per row orders them.
+    Log-shift stream compaction: candidates are laid out in emission order —
+    5 header bytes, then per group 3 tag candidates + 32 residual candidates —
+    so every candidate's leftward displacement to its final offset is
+    nondecreasing and the monotone network applies (see `_compact_monotone`).
     """
     e1, e2 = _norm_exponents(e1, e2)
     C, L = bcode.shape
@@ -173,9 +176,6 @@ def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10)
 
     cum = jnp.cumsum(length, axis=1)
     res_before = cum - length
-    grp = jnp.arange(L, dtype=jnp.int32) // 8
-    data_off = 5 + 3 * (grp + 1) + res_before
-    tag_off = 5 + 3 * jnp.arange(G, dtype=jnp.int32) + res_before[:, ::8]
     total = 5 + 3 * G + cum[:, -1]
 
     # tag bytes (big-endian 24-bit of eight 3-bit codes, slot 0 in low bits)
@@ -184,44 +184,43 @@ def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10)
     tag24 = jnp.sum(bc_mat << shifts, axis=2)
     tag_bytes = jnp.stack(
         [(tag24 >> 16) & 0xFF, (tag24 >> 8) & 0xFF, tag24 & 0xFF], axis=2
-    )  # (C, G, 3)
-    tag_dest = tag_off[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.uint32)  # (C, G, 3)
+    # tag candidate displacement: 32*g - res_before[8g] (constant per group)
+    tag_move = jnp.broadcast_to(
+        (32 * jnp.arange(G, dtype=jnp.int32))[None, :, None]
+        - res_before[:, ::8][:, :, None],
+        (C, G, 3),
+    )
 
     # residual bytes (big-endian, low `length` bytes)
     k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
     shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
-    res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.int32)
-    res_valid = k < length[:, :, None]
-    res_dest = jnp.where(res_valid, data_off[:, :, None] + k, B)
+    res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.uint32)
+    res_valid = jnp.broadcast_to(k < length[:, :, None], (C, L, 4))
+    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    res_move = jnp.broadcast_to(4 * i - res_before[:, :, None], (C, L, 4))
 
     # header bytes
     hdr_vals = jnp.array(
         [((e1 >> 1) << 4) | (e2 >> 1), (L >> 24) & 0xFF, (L >> 16) & 0xFF,
          (L >> 8) & 0xFF, L & 0xFF],
-        dtype=jnp.int32,
+        dtype=jnp.uint32,
     )
-    hdr_dest = jnp.arange(5, dtype=jnp.int32)
 
-    dest = jnp.concatenate(
-        [
-            jnp.broadcast_to(hdr_dest, (C, 5)),
-            tag_dest.reshape(C, 3 * G),
-            res_dest.reshape(C, 4 * L),
-        ],
-        axis=1,
-    )  # (C, S) with S == B
-    byte = jnp.concatenate(
-        [
-            jnp.broadcast_to(hdr_vals, (C, 5)),
-            tag_bytes.reshape(C, 3 * G),
-            res_bytes.reshape(C, 4 * L),
-        ],
-        axis=1,
-    )
-    # single-operand sort of (dest << 8 | byte): halves sort data movement;
-    # valid destinations are unique so stability is irrelevant
-    packed = (dest.astype(jnp.uint32) << 8) | byte.astype(jnp.uint32)
-    out = jax.lax.sort((packed,), num_keys=1)[0] & 0xFF
+    # emission-order candidate layout: [hdr | per-group (3 tags + 32 res)]
+    grp_bytes = jnp.concatenate(
+        [tag_bytes, res_bytes.reshape(C, G, 32)], axis=2
+    ).reshape(C, 35 * G)
+    grp_move = jnp.concatenate(
+        [tag_move, res_move.reshape(C, G, 32)], axis=2
+    ).reshape(C, 35 * G)
+    grp_valid = jnp.concatenate(
+        [jnp.ones((C, G, 3), bool), res_valid.reshape(C, G, 32)], axis=2
+    ).reshape(C, 35 * G)
+    byte = jnp.concatenate([jnp.broadcast_to(hdr_vals, (C, 5)), grp_bytes], axis=1)
+    move = jnp.concatenate([jnp.zeros((C, 5), jnp.int32), grp_move], axis=1)
+    valid = jnp.concatenate([jnp.ones((C, 5), bool), grp_valid], axis=1)
+    out = _compact_monotone(byte, move, valid, 8)  # (C, 5 + 35G) == (C, B)
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < total[:, None], out, 0)
     return out.astype(jnp.uint8), total.astype(jnp.int32)
@@ -358,8 +357,71 @@ def decode_f32_chunks(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
 # Size is byte-identical to the reference layout (tags are merely hoisted), and
 # conversion either way is a host-side reorder (chunked.relayout_*). Decode
 # needs no pointer-chase (tags sit at static offsets) and no gather: residual
-# expansion is two single-op lax.sorts — the fast reordering primitive on TPU.
+# expansion is two monotone log-shift networks (see above).
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# monotone log-shift data movement (the TPU-fast alternative to lax.sort)
+#
+# Both byte compaction (pack) and byte expansion (parse) move element i from
+# position p_i to position q_i where BOTH sequences are strictly increasing
+# over live elements — a monotone partial permutation. Such a movement can be
+# realized by a log-shift network: ceil(log2 S) passes, where pass b moves an
+# element by 2^b iff bit b of its remaining displacement is set (LSB→MSB for
+# leftward compaction, MSB→LSB for rightward expansion). Monotonicity
+# guarantees no two live elements ever collide mid-network:
+#   compaction (left, LSB-first): after clearing bits <b, positions are
+#     p_i = dest_i + (shift_i >> b << b); dest strictly increasing and
+#     floor(shift/2^b) nondecreasing (shift nondecreasing) ⇒ p strictly
+#     increasing at every pass.
+#   expansion (right, MSB-first): p_i = dest_i - (shift_i mod 2^b);
+#     (shift_j mod m) - (shift_i mod m) ≤ shift_j - shift_i = (dest_j -
+#     dest_i) - (j - i) for j>i ⇒ p_j - p_i ≥ j - i ≥ 1.
+# Each pass is one shifted-slice + compare + select over a (C, S) u32 array —
+# ~13 elementwise passes for S=4096 versus ~78 compare/swap stages for a
+# bitonic lax.sort, and no key-width blowup.
+# ---------------------------------------------------------------------------
+
+
+def _logshift_passes(word, pb, S, direction):
+    """Run the log-shift network over packed (shift << pb | payload) words.
+
+    Dead slots are word == 0 (shift 0 never moves; payload garbage is masked
+    by the caller). A live element that moves away leaves a dead slot behind;
+    arrivals overwrite whatever is resident.
+    """
+    C = word.shape[0]
+    nbits = max(S - 1, 1).bit_length()
+    rng = range(nbits) if direction == "left" else reversed(range(nbits))
+    for b in rng:
+        d = 1 << b
+        zeros = jnp.zeros((C, d), jnp.uint32)
+        if direction == "left":
+            cand = jnp.concatenate([word[:, d:], zeros], axis=1)
+        else:
+            cand = jnp.concatenate([zeros, word[:, :-d]], axis=1)
+        bit = jnp.uint32(d << pb)
+        arrives = (cand & bit) != 0
+        departs = (word & bit) != 0
+        word = jnp.where(arrives, cand - bit, jnp.where(departs, 0, word))
+    return word
+
+
+def _compact_monotone(payload, shift, valid, pb):
+    """Move live element at position p left by shift[p] (monotone); (C, S)."""
+    S = payload.shape[1]
+    assert pb + max(S - 1, 1).bit_length() <= 32, "log-shift word overflow"
+    word = jnp.where(valid, (shift.astype(jnp.uint32) << pb) | payload, 0)
+    return _logshift_passes(word, pb, S, "left") & jnp.uint32((1 << pb) - 1)
+
+
+def _expand_monotone(payload, shift, valid, pb):
+    """Move live element at position p right by shift[p] (monotone); (C, S)."""
+    S = payload.shape[1]
+    assert pb + max(S - 1, 1).bit_length() <= 32, "log-shift word overflow"
+    word = jnp.where(valid, (shift.astype(jnp.uint32) << pb) | payload, 0)
+    return _logshift_passes(word, pb, S, "right") & jnp.uint32((1 << pb) - 1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -388,15 +450,19 @@ def pack_f32_chunks_v2(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 
         [(tag24 >> 16) & 0xFF, (tag24 >> 8) & 0xFF, tag24 & 0xFF], axis=2
     ).reshape(C, 3 * G).astype(jnp.uint8)
 
-    # residual compaction: candidate byte k of value i lands at region offset
-    # res_before[i] + k when k < length[i]; one single-op sort orders them.
+    # residual compaction: candidate byte k of value i sits at natural position
+    # 4*i + k and lands at region offset res_before[i] + k when k < length[i].
+    # The leftward displacement 4*i - res_before[i] is nondecreasing in i and
+    # constant over k, so the log-shift network applies.
     k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
     shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
     res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.uint32)
-    valid = k < length[:, :, None]
-    dest = jnp.where(valid, res_before[:, :, None] + k, 4 * L)
-    packed = (dest.astype(jnp.uint32).reshape(C, 4 * L) << 8) | res_bytes.reshape(C, 4 * L)
-    region = (jax.lax.sort((packed,), num_keys=1)[0] & 0xFF).astype(jnp.uint8)
+    valid = (k < length[:, :, None]).reshape(C, 4 * L)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    move = jnp.broadcast_to(4 * i - res_before[:, :, None], (C, L, 4)).reshape(C, 4 * L)
+    region = _compact_monotone(
+        res_bytes.reshape(C, 4 * L), move, valid, 8
+    ).astype(jnp.uint8)
     pos = jnp.arange(4 * L, dtype=jnp.int32)[None, :]
     region = jnp.where(pos < n_res[:, None], region, 0)
 
@@ -409,10 +475,11 @@ def pack_f32_chunks_v2(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 
 def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
     """Device parse of v2-layout chunk payloads → ((C, L) bcodes, (C, L) xors).
 
-    Tags are slices (static offsets); residual expansion is two single-op
-    sorts: sort #1 orders slot ids by their source byte index (inverse
-    compaction), positional pairing with the region bytes, sort #2 restores
-    slot order. No gathers, no scans.
+    Tags are slices (static offsets); residual expansion is two monotone
+    log-shift passes (see `_compact_monotone`/`_expand_monotone`): pass #1
+    compacts slot ids to rank order (the inverse of the pack compaction),
+    pass #2 expands the region bytes back to their slots. No sorts, no
+    gathers, no scans.
     """
     C, B = payloads.shape
     assert L % 8 == 0
@@ -425,22 +492,30 @@ def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
     lens = _glen32(bcodes)
     cum = jnp.cumsum(lens, axis=1)
     res_before = cum - lens
+    n_res = cum[:, -1]
 
     k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    valid = k < lens[:, :, None]
-    rank = jnp.where(valid, res_before[:, :, None] + k, S).astype(jnp.uint32)
-    slot_id = jnp.arange(S, dtype=jnp.uint32).reshape(1, L, 4)
-    sbits = int(S).bit_length()  # bits for slot_id and for rank (max value S)
-    assert 2 * sbits <= 32, f"chunk_len {L} too large for 32-bit sort keys"
-    s1 = jax.lax.sort((((rank << sbits) | slot_id).reshape(C, S),), num_keys=1)[0]
-    slot_by_rank = s1 & ((1 << sbits) - 1)  # j-th: slot reading region byte j
+    valid = (k < lens[:, :, None]).reshape(C, S)
+    sbits = max(S - 1, 1).bit_length()  # payload bits for a slot id
+    # slot id of rank r: compact slot ids by the pack-side displacement
+    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    move = jnp.broadcast_to(4 * i - res_before[:, :, None], (C, L, 4)).reshape(C, S)
+    slot_id = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.uint32).reshape(1, S), (C, S)
+    )
+    slot_by_rank = _compact_monotone(slot_id, move, valid, sbits).astype(jnp.int32)
 
+    # expand region byte at rank r rightward to its slot
     region = payloads[:, 5 + 3 * G : 5 + 3 * G + S].astype(jnp.uint32)
-    s2 = jax.lax.sort(((slot_by_rank << 8) | region,), num_keys=1)[0]
-    bytes_by_slot = (s2 & 0xFF).reshape(C, L, 4)
+    ranks = jnp.arange(S, dtype=jnp.int32)[None, :]
+    bytes_by_slot = _expand_monotone(
+        region, slot_by_rank - ranks, ranks < n_res[:, None], 8
+    ).reshape(C, L, 4)
 
     shift = (8 * jnp.clip(lens[:, :, None] - 1 - k, 0, 3)).astype(jnp.uint32)
-    xors = jnp.sum(jnp.where(valid, bytes_by_slot << shift, 0), axis=2).astype(jnp.uint32)
+    xors = jnp.sum(
+        jnp.where(valid.reshape(C, L, 4), bytes_by_slot << shift, 0), axis=2
+    ).astype(jnp.uint32)
     return bcodes.astype(jnp.uint8), xors
 
 
