@@ -1,0 +1,88 @@
+"""Parity tests for the Pallas TPU predictor kernels (interpret mode on CPU).
+
+The Pallas kernels (`trico_tpu/codec/fp_pallas.py`) are the production path on
+real TPU backends. These tests execute the same kernels through the Pallas
+interpreter so their math is pinned to the XLA-scan path and the NumPy oracle
+(`fp_ref.predictions`) on every CPU test run — round 1 shipped them with zero
+coverage and they were wrong on hardware (VERDICT.md round 1, missing #1).
+
+Reference semantics being checked: the FCM/DFCM recurrence of
+/root/reference/trico/floating_point_stream_compression.c:76-210 (encode) and
+:212-417 (decode replay), per chunk with fresh tables.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from trico_tpu.codec import fp_jax, fp_pallas, fp_ref
+
+from conftest import mesh_like_floats
+
+
+def _chunks(n_chunks, L, seed=0):
+    vals = mesh_like_floats(n_chunks * L, seed=seed).view(np.uint32)
+    return vals.reshape(n_chunks, L)
+
+
+@pytest.mark.parametrize("e1,e2", [(4, 10), (4, 8), (0, 10), (4, 0), (10, 16)])
+def test_predict_xors_interpret_matches_oracle(e1, e2):
+    C, L = 3, 256
+    chunks = _chunks(C, L, seed=42)
+    xor1, xor2 = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    xor1, xor2 = np.asarray(xor1), np.asarray(xor2)
+    for c in range(C):
+        p1, p2 = fp_ref.predictions(chunks[c], e1, e2)
+        np.testing.assert_array_equal(xor1[c], chunks[c] ^ p1)
+        np.testing.assert_array_equal(xor2[c], chunks[c] ^ p2)
+
+
+@pytest.mark.parametrize("e1,e2", [(4, 10), (4, 8)])
+def test_predict_xors_interpret_matches_scan(e1, e2):
+    """Pallas (interpret) == XLA scan, including at a non-multiple of C_BLK
+    lanes (exercises the pad/trim edge at C_BLK)."""
+    C, L = 5, 128
+    chunks = _chunks(C, L, seed=7)
+    xor1p, xor2p = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    bc_s, res_s = fp_jax._predict_scan(jnp.asarray(chunks), *fp_jax._norm_exponents(e1, e2))
+    bc_p, res_p = fp_jax._bcode_res_from_xors(xor1p, xor2p)
+    np.testing.assert_array_equal(np.asarray(bc_p), np.asarray(bc_s))
+    np.testing.assert_array_equal(np.asarray(res_p), np.asarray(res_s))
+
+
+@pytest.mark.parametrize("e1,e2", [(4, 10), (4, 8)])
+def test_replay_interpret_roundtrip(e1, e2):
+    """encode (scan) -> replay (Pallas interpret) must reproduce the input."""
+    C, L = 3, 256
+    chunks = _chunks(C, L, seed=3)
+    e1n, e2n = fp_jax._norm_exponents(e1, e2)
+    bcode, res = fp_jax._predict_scan(jnp.asarray(chunks), e1n, e2n)
+    vals = fp_pallas.replay_pallas(bcode, res, e1, e2, True)
+    np.testing.assert_array_equal(np.asarray(vals), chunks)
+
+
+def test_predict_replay_interpret_composite():
+    """Full interpret-mode composite: Pallas predict -> pack -> parse ->
+    Pallas replay, at the bench's production settings."""
+    e1, e2 = 4, 8
+    C, L = 2, 512
+    chunks = _chunks(C, L, seed=11)
+    xor1, xor2 = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    bcode, res = fp_jax._bcode_res_from_xors(xor1, xor2)
+    payloads, sizes = fp_jax.pack_f32_chunks_v2(bcode, res, e1, e2)
+    bc2, xors2 = fp_jax.parse_f32_chunks_v2(payloads, L, e1, e2)
+    vals = fp_pallas.replay_pallas(bc2, xors2, e1, e2, True)
+    np.testing.assert_array_equal(np.asarray(vals), chunks)
+
+
+def test_pallas_wide_block_edge():
+    """More lanes than one C_BLK block (grid > 1) plus a ragged remainder."""
+    e1, e2 = 4, 8
+    C = fp_pallas.C_BLK + 17
+    L = 64
+    chunks = _chunks(C, L, seed=5)
+    xor1p, xor2p = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    bc_p, res_p = fp_jax._bcode_res_from_xors(xor1p, xor2p)
+    bc_s, res_s = fp_jax._predict_scan(jnp.asarray(chunks), e1, e2)
+    np.testing.assert_array_equal(np.asarray(bc_p), np.asarray(bc_s))
+    np.testing.assert_array_equal(np.asarray(res_p), np.asarray(res_s))

@@ -347,6 +347,8 @@ class ArchiveReader:
         return self._next
 
     def _peek_count(self) -> int:
+        if self._pos + 4 > len(self._data):
+            raise ValueError("truncated archive")
         return struct.unpack_from("<I", self._data, self._pos)[0]
 
     # peeks (trico.h:67-72)
@@ -377,6 +379,8 @@ class ArchiveReader:
     # -- generic stream reader ---------------------------------------------
 
     def _read_u32(self) -> int:
+        if self._pos + 4 > len(self._data):
+            raise ValueError("truncated archive")
         v = struct.unpack_from("<I", self._data, self._pos)[0]
         self._pos += 4
         return v

@@ -201,12 +201,18 @@ def decode_lz4_chunked(data) -> np.ndarray:
     from .codec import lz4_ref
 
     data = bytes(data)
+    if len(data) < 14:
+        raise ValueError("truncated chunked container")
     ver, flags, block_len, total, n_blocks = struct.unpack_from("<BBIII", data, 0)
     if ver != 1 or flags != 2:
         raise ValueError("not a chunked LZ4 container")
     off = 14
+    if off + 4 * n_blocks > len(data):
+        raise ValueError("truncated chunked container")
     sizes = struct.unpack_from(f"<{n_blocks}I", data, off)
     off += 4 * n_blocks
+    if off + sum(sizes) > len(data):
+        raise ValueError("truncated chunked container")
     out = np.empty(total, np.uint8)
     pos = 0
     for i in range(n_blocks):
@@ -225,6 +231,8 @@ def decode_lz4_chunked(data) -> np.ndarray:
 def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     """Decode a chunked container → (raw-bits array, bits)."""
     data = bytes(data)
+    if len(data) < 14:
+        raise ValueError("truncated chunked container")
     ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
     if ver != 1:
         raise ValueError(f"unsupported chunked container version {ver}")
@@ -233,8 +241,12 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     bits = 64 if flags & 1 else 32
     layout = "tpu" if flags & 4 else "ref"
     off = 14
+    if off + 4 * n_chunks > len(data):
+        raise ValueError("truncated chunked container")
     sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
     off += 4 * n_chunks
+    if off + sum(sizes) > len(data):
+        raise ValueError("truncated chunked container")
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
 
     dt = np.uint32 if bits == 32 else np.uint64
