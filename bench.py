@@ -134,22 +134,37 @@ def host_fallback(n_values: int):
 def bunny_extra():
     """Compressed bunny size via the host path with adaptive per-plane hash
     exponents (reference's own output: 584,613 B for vertices+triangles;
-    published .trc 571 KB = 584,704 B)."""
+    published .trc 571 KB = 584,704 B). Per-stage GB/s via StageTimer — the
+    profiling subsystem is part of the benchmark output."""
     try:
         import numpy as np
 
         sys.path.insert(0, str(REPO))
-        from trico_tpu.archive import ArchiveWriter
+        from trico_tpu.archive import ArchiveReader, ArchiveWriter
         from trico_tpu.io import stl
+        from trico_tpu.profiling import StageTimer
 
         bunny = REPO / "tests" / "data" / "StanfordBunny.stl"
         if not bunny.exists():
             return {}
         verts, tris = stl.read_stl(bunny)
+        prof = StageTimer()
         w = ArchiveWriter()
-        w.write_vertices(verts)
-        w.write_triangles(tris)
-        return {"bunny_trc_bytes": len(w.tobytes()), "bunny_ref_trc_bytes": 584613}
+        with prof.stage("encode_vertices_fp", verts.nbytes):
+            w.write_vertices(verts)
+        with prof.stage("encode_triangles_lz4", tris.nbytes):
+            w.write_triangles(tris)
+        blob = w.tobytes()
+        r = ArchiveReader(blob)
+        with prof.stage("decode_vertices_fp", verts.nbytes):
+            v2 = r.read_vertices()
+        with prof.stage("decode_triangles_lz4", tris.nbytes):
+            t2 = r.read_triangles()
+        exact = bool(np.array_equal(v2.view(np.uint32), verts.view(np.uint32))
+                     and np.array_equal(t2, tris))
+        stages = {f"bunny_{k}_gbps": round(prof.gbps(k), 3) for k in prof.stages}
+        return {"bunny_trc_bytes": len(blob), "bunny_ref_trc_bytes": 584613,
+                "bunny_exact": exact, **stages}
     except Exception:
         return {}
 
@@ -164,6 +179,15 @@ def main():
         result = host_fallback(n_values)
     if result is None:
         result = {"gbps": 0.0, "ratio": 0.0, "exact": False, "backend": "none"}
+
+    # EXACTNESS GATE (VERDICT r1 #2): a lossless codec has no throughput when
+    # it loses data. An inexact round-trip reports 0 GB/s, loudly.
+    if not result.get("exact", False):
+        result["gbps"] = 0.0
+        result["decode_gbps"] = 0.0
+        result["inexact_roundtrip"] = True
+        print("BENCH FAILURE: round-trip not bit-exact; throughput voided",
+              file=sys.stderr)
 
     extra = {k: v for k, v in result.items() if k not in ("gbps",)}
     extra.update(bunny_extra())

@@ -24,33 +24,49 @@ def _archive(chunk_len=None):
 
 @pytest.mark.parametrize("chunk_len", [None, 256])
 def test_truncated_archive_raises(chunk_len):
+    """Every cut must either raise or (if the cut only removed bytes past the
+    data actually read) decode to the exact original values — silent
+    corruption is a failure."""
     blob = _archive(chunk_len)
+    r0 = ArchiveReader(bytes(blob))
+    verts0, tris0 = r0.read_vertices(), r0.read_triangles()
     for cut in (9, len(blob) // 2, len(blob) - 3):
         try:
             r = ArchiveReader(bytes(blob[:cut]))
-            r.read_vertices()
-            r.read_triangles()
+            v = r.read_vertices()
+            t = r.read_triangles()
         except Exception:
-            continue  # detected — good; reaching here without error is also
-                      # acceptable only when the cut removed pure padding
+            continue  # detected — good
+        assert np.array_equal(v.view(np.uint32), verts0.view(np.uint32)) and \
+            np.array_equal(t, tris0), f"cut at {cut} decoded silently wrong"
 
 
 def test_bitflip_in_lz4_stream_detected_or_consistent():
+    """A flipped payload byte must either raise or change the decoded output
+    (no byte of the format is dead); decoding to the original values from a
+    corrupted stream would mean the codec ignores input bytes."""
     blob = _archive()
     r0 = ArchiveReader(bytes(blob))
-    verts = r0.read_vertices()
-    # find the triangle stream and flip bytes in its payload
+    verts0, tris0 = r0.read_vertices(), r0.read_triangles()
     rng = np.random.default_rng(1)
+    outcomes = {"raised": 0, "differs": 0}
     for _ in range(20):
-        pos = rng.integers(len(blob) // 2, len(blob))
+        pos = int(rng.integers(len(blob) // 2, len(blob)))
         mut = bytearray(blob)
         mut[pos] ^= 0xFF
         try:
             r = ArchiveReader(bytes(mut))
-            r.read_vertices()
-            r.read_triangles()
-        except (ValueError, RuntimeError):
-            pass  # detected — good
+            v = r.read_vertices()
+            t = r.read_triangles()
+        except Exception:
+            outcomes["raised"] += 1
+            continue
+        same = (v.shape == verts0.shape and t.shape == tris0.shape
+                and np.array_equal(v.view(np.uint32), verts0.view(np.uint32))
+                and np.array_equal(t, tris0))
+        assert not same, f"bit flip at {pos} was silently absorbed"
+        outcomes["differs"] += 1
+    assert sum(outcomes.values()) == 20
 
 
 def test_lz4_ref_corrupt_offset():

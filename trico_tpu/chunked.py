@@ -213,18 +213,22 @@ def decode_lz4_chunked(data) -> np.ndarray:
     off += 4 * n_blocks
     if off + sum(sizes) > len(data):
         raise ValueError("truncated chunked container")
+    dst_sizes = np.minimum(
+        block_len, total - block_len * np.arange(n_blocks, dtype=np.int64)
+    )
+    if native.available():
+        # blocks are independent by construction — decode across host threads
+        src_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64) + off
+        return native.lz4_decompress_blocks(data, src_off, np.asarray(sizes), dst_sizes)
     out = np.empty(total, np.uint8)
     pos = 0
     for i in range(n_blocks):
-        size = min(block_len, total - i * block_len)
+        size = int(dst_sizes[i])
         payload = data[off + pos : off + pos + sizes[i]]
         pos += sizes[i]
-        if native.available():
-            out[i * block_len : i * block_len + size] = native.lz4_decompress(payload, size)
-        else:
-            out[i * block_len : i * block_len + size] = np.frombuffer(
-                lz4_ref.decompress(payload, size), np.uint8
-            )
+        out[i * block_len : i * block_len + size] = np.frombuffer(
+            lz4_ref.decompress(payload, size), np.uint8
+        )
     return out
 
 
@@ -276,9 +280,6 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         buf = np.frombuffer(data, np.uint8)
         for c in range(n_full):
             mat[c, : sizes[c]] = buf[offsets[c] : offsets[c + 1]]
-        # exponents from the first chunk header (uniform across full chunks)
-        e1 = (mat[0, 0] >> 4) << 1
-        e2 = (mat[0, 0] & 15) << 1
         if layout == "tpu" and not use_tpu:
             # host fallback: relayout chunks to reference order (batched native
             # when available), then host-decode
@@ -295,9 +296,18 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
                     p1 = relayout(mat[c, : sizes[c]])
                     out[c * chunk_len : (c + 1) * chunk_len] = _host_fp_decode(p1, bits)
         else:
-            out[: n_full * chunk_len] = dec(
-                mat, chunk_len, int(e1), int(e2), layout=layout
-            )
+            # exponents are self-describing per chunk (hash_info byte);
+            # group chunks by hash_info so mixed-exponent containers (the
+            # adaptive-exponent encoder) decode correctly on the device path
+            hash_infos = mat[:, 0]
+            for hi in np.unique(hash_infos):
+                idx = np.nonzero(hash_infos == hi)[0]
+                e1 = (int(hi) >> 4) << 1
+                e2 = (int(hi) & 15) << 1
+                vals = dec(mat[idx], chunk_len, e1, e2, layout=layout)
+                vals = vals.reshape(len(idx), chunk_len)
+                for j, c in enumerate(idx):
+                    out[c * chunk_len : (c + 1) * chunk_len] = vals[j]
         start = n_full
     else:
         start = 0

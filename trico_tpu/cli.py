@@ -14,6 +14,7 @@ cross-wires them, trico_encoder/main.c:144-191).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 from pathlib import Path
 
@@ -21,6 +22,16 @@ import numpy as np
 
 from .archive import ArchiveReader, ArchiveWriter, StreamType
 from .io import ply, stl
+from .profiling import StageTimer
+
+
+def _stager(enabled: bool):
+    """Return (timer, stage) where stage(name, nbytes) is a context manager;
+    a no-op when profiling is off."""
+    if not enabled:
+        return None, lambda name, nbytes=0: contextlib.nullcontext()
+    prof = StageTimer()
+    return prof, prof.stage
 
 
 def _default_output(path: Path, ext: str) -> Path:
@@ -40,6 +51,8 @@ def encoder_main(argv=None) -> int:
                     help="skip the given PLY attribute")
     ap.add_argument("--backend", default="auto", choices=["auto", "native", "numpy", "jax"],
                     help="codec backend (default auto: native, falling back to numpy)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
 
     inp = Path(args.input)
@@ -49,6 +62,7 @@ def encoder_main(argv=None) -> int:
         print("I expect the input file to be of type stl or ply.", file=sys.stderr)
         return 1
 
+    prof, stage = _stager(args.profile)
     use_native = args.backend in ("auto", "native")
     if args.backend == "jax":
         # TPU chunk-parallel path → version-1 chunked archive
@@ -57,32 +71,46 @@ def encoder_main(argv=None) -> int:
         w = ArchiveWriter(use_native=use_native)
     if ext == ".stl":
         full = bool(args.stladd)
-        if full:
-            verts, tris, tri_normals, attrs = stl.read_stl(inp, full=True)
-        else:
-            verts, tris = stl.read_stl(inp)
-            tri_normals = attrs = None
+        with stage("read_stl", inp.stat().st_size):
+            if full:
+                verts, tris, tri_normals, attrs = stl.read_stl(inp, full=True)
+            else:
+                verts, tris = stl.read_stl(inp)
+                tri_normals = attrs = None
         if len(verts):
-            w.write_vertices(verts)
+            with stage("encode_vertices", verts.nbytes):
+                w.write_vertices(verts)
         if len(tris):
-            w.write_triangles(tris)
+            with stage("encode_triangles", tris.nbytes):
+                w.write_triangles(tris)
         if "normal" in args.stladd and tri_normals is not None and len(tris):
-            w.write_triangle_normals(tri_normals)
+            with stage("encode_tri_normals", tri_normals.nbytes):
+                w.write_triangle_normals(tri_normals)
         if "uint16" in args.stladd and attrs is not None and len(tris):
-            w.write_attributes_uint16(attrs)
+            with stage("encode_attrs_u16", attrs.nbytes):
+                w.write_attributes_uint16(attrs)
     else:
-        mesh = ply.read_ply(inp)
+        with stage("read_ply", inp.stat().st_size):
+            mesh = ply.read_ply(inp)
         if mesh.vertices is not None and len(mesh.vertices):
-            w.write_vertices(mesh.vertices)
+            with stage("encode_vertices", mesh.vertices.nbytes):
+                w.write_vertices(mesh.vertices)
         if mesh.triangles is not None and len(mesh.triangles):
-            w.write_triangles(mesh.triangles)
+            with stage("encode_triangles", mesh.triangles.nbytes):
+                w.write_triangles(mesh.triangles)
         if "normal" not in args.plyskip and mesh.vertex_normals is not None:
-            w.write_vertex_normals(mesh.vertex_normals)
+            with stage("encode_normals", mesh.vertex_normals.nbytes):
+                w.write_vertex_normals(mesh.vertex_normals)
         if "color" not in args.plyskip and mesh.vertex_colors is not None:
-            w.write_vertex_colors(mesh.vertex_colors)
+            with stage("encode_colors", mesh.vertex_colors.nbytes):
+                w.write_vertex_colors(mesh.vertex_colors)
         if "tex_coord" not in args.plyskip and mesh.texcoords is not None:
-            w.write_uv_per_triangle(mesh.texcoords)
-    w.save(out)
+            with stage("encode_uvs", mesh.texcoords.nbytes):
+                w.write_uv_per_triangle(mesh.texcoords)
+    with stage("write_archive"):
+        w.save(out)
+    if prof:
+        print(prof.report(), file=sys.stderr)
     return 0
 
 
@@ -93,13 +121,20 @@ def decoder_main(argv=None) -> int:
     )
     ap.add_argument("-i", dest="input", required=True, help="input .trc file")
     ap.add_argument("-o", dest="output", help="output .stl or .ply (default: by content)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
 
+    prof, stage = _stager(args.profile)
     data = Path(args.input).read_bytes()
     r = ArchiveReader(data)
     verts = tris = tri_normals = vert_normals = colors = uvs = attrs16 = None
     while r.next_stream_type != StreamType.empty:
-        st, arr = r.read_stream()
+        st_name = r.next_stream_type.name
+        with stage(f"decode_{st_name}"):
+            st, arr = r.read_stream()
+        if prof:
+            prof.stages[f"decode_{st_name}"].nbytes += arr.nbytes
         if st == StreamType.vertex_float:
             verts = arr
         elif st == StreamType.triangle_uint32:
@@ -128,14 +163,17 @@ def decoder_main(argv=None) -> int:
         want_ply = colors is not None or uvs is not None or vert_normals is not None
         out = _default_output(Path(args.input), ".ply" if want_ply else ".stl")
 
-    if want_ply:
-        ply.write_ply(out, verts, vert_normals, colors, tris, uvs)
-    else:
-        if tris is None:
-            tris = np.zeros((0, 3), np.uint32)
-        if tri_normals is None and len(tris):
-            tri_normals = stl.compute_triangle_normals(verts, tris)
-        stl.write_stl(out, verts, tris, tri_normals, attrs16)
+    with stage("write_mesh"):
+        if want_ply:
+            ply.write_ply(out, verts, vert_normals, colors, tris, uvs)
+        else:
+            if tris is None:
+                tris = np.zeros((0, 3), np.uint32)
+            if tri_normals is None and len(tris):
+                tri_normals = stl.compute_triangle_normals(verts, tris)
+            stl.write_stl(out, verts, tris, tri_normals, attrs16)
+    if prof:
+        print(prof.report(), file=sys.stderr)
     return 0
 
 

@@ -116,10 +116,13 @@ def _predict_scan(values, e1, e2):
         pred2 = _onehot_read(t2, h2n, iota2)
         return (t1, t2, h1n, h2n, pred1, pred2, v), (xor1, xor2)
 
-    z = jnp.zeros((C,), jnp.uint32)
+    # derive the carry zeros from the input so they inherit its varying manual
+    # axes (shard_map VMA typing: a literal jnp.zeros is unvarying and would
+    # mismatch the varying carry output when scanning inside shard_map)
+    z = vT[0] ^ vT[0]
     carry0 = (
-        jnp.zeros((C, T1), jnp.uint32),
-        jnp.zeros((C, T2), jnp.uint32),
+        jnp.zeros((C, T1), jnp.uint32) + z[:, None],
+        jnp.zeros((C, T2), jnp.uint32) + z[:, None],
         z, z, z, z, z,
     )
     _, (xor1T, xor2T) = jax.lax.scan(step, carry0, vT, unroll=_SCAN_UNROLL)
@@ -274,10 +277,11 @@ def _replay_impl(bcodes, xors, e1, e2):
         pred2 = _onehot_read(t2, h2n, iota2)
         return (t1, t2, h1n, h2n, pred1, pred2, v), v
 
-    z = jnp.zeros((C,), jnp.uint32)
+    # input-derived zeros: see the VMA note in _predict_scan
+    z = xors[:, 0] ^ xors[:, 0]
     carry0 = (
-        jnp.zeros((C, T1), jnp.uint32),
-        jnp.zeros((C, T2), jnp.uint32),
+        jnp.zeros((C, T1), jnp.uint32) + z[:, None],
+        jnp.zeros((C, T2), jnp.uint32) + z[:, None],
         z, z, z, z, z,
     )
     _, valsT = jax.lax.scan(

@@ -140,14 +140,10 @@ def compress_plane(plane: np.ndarray, block: int = BLOCK, use_tpu: bool | None =
     out = []
     if C > 0:
         blocks = plane[: C * block].reshape(C, block)
-        if use_tpu is None:
-            try:
-                use_tpu = jax.default_backend() != "cpu"
-            except Exception:
-                use_tpu = False
-        if use_tpu or True:  # jax path works on CPU too; keep one code path
-            off, rle = find_matches(jnp.asarray(blocks))
-            off, rle = np.asarray(off), np.asarray(rle)
+        # jax match search works on every backend; `use_tpu` kept for API compat
+        del use_tpu
+        off, rle = find_matches(jnp.asarray(blocks))
+        off, rle = np.asarray(off), np.asarray(rle)
         for c in range(C):
             out.append(compress_block_with_candidates(blocks[c], off[c], rle[c]))
     if n % block:

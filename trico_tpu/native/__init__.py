@@ -75,6 +75,8 @@ def get_lib():
         lib.tt_lz4_compress.argtypes = [p, i64, p, i64]
         lib.tt_lz4_decompress.restype = i64
         lib.tt_lz4_decompress.argtypes = [p, i64, p, i64]
+        lib.tt_lz4_decompress_blocks.restype = i64
+        lib.tt_lz4_decompress_blocks.argtypes = [p, p, p, i64, p, p, p]
         lib.tt_lz4_emit.restype = i64
         lib.tt_lz4_emit.argtypes = [p, i64, p, p, p, i64]
         lib.tt_fp32_pack_chunks.restype = i64
@@ -170,6 +172,30 @@ def lz4_compress(data) -> bytes:
     if sz < 0:
         raise RuntimeError("lz4 compress failed")
     return out[:sz].tobytes()
+
+
+def lz4_decompress_blocks(data, src_offsets: np.ndarray, src_sizes: np.ndarray,
+                          dst_sizes: np.ndarray) -> np.ndarray:
+    """Decode independent LZ4 blocks in parallel (hardware threads).
+
+    ``data`` holds the concatenated compressed blocks; block i spans
+    ``src_offsets[i] : src_offsets[i] + src_sizes[i]``. Returns the
+    concatenated plain bytes (block i decodes to exactly ``dst_sizes[i]``)."""
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data)
+    src_off = np.ascontiguousarray(src_offsets, np.int64)
+    src_sz = np.ascontiguousarray(src_sizes, np.int64)
+    dst_sz = np.ascontiguousarray(dst_sizes, np.int64)
+    dst_off = np.concatenate([[0], np.cumsum(dst_sz)[:-1]]).astype(np.int64)
+    out = np.empty(int(dst_sz.sum()), np.uint8)
+    rc = lib.tt_lz4_decompress_blocks(
+        _ptr(buf), _ptr(src_off), _ptr(src_sz), len(src_sz),
+        _ptr(out), _ptr(dst_off), _ptr(dst_sz),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt LZ4 block {-rc - 1}")
+    return out
 
 
 def lz4_decompress(data, out_size: int) -> np.ndarray:

@@ -13,6 +13,7 @@
 // single-stream reference-compatible mode); the TPU path lives in
 // trico_tpu/codec/fp_jax.py.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -756,6 +757,24 @@ EXPORT int64_t tt_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
     op += mlen;
   }
   return op - dst;
+}
+
+// Batch block decode across hardware threads: blocks are independent by
+// construction (chunked container framing, trico_tpu/chunked.py), unlike the
+// reference's strictly sequential per-block loop (lz4.c:1658 decode hot loop).
+// Returns 0 on success, -(i+1) when block i is corrupt or mis-sized.
+EXPORT int64_t tt_lz4_decompress_blocks(const uint8_t* src, const int64_t* src_off,
+                                        const int64_t* src_sz, int64_t n_blocks,
+                                        uint8_t* dst, const int64_t* dst_off,
+                                        const int64_t* dst_sz) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t c) {
+    if (err.load(std::memory_order_relaxed)) return;
+    int64_t got = tt_lz4_decompress(src + src_off[c], src_sz[c],
+                                    dst + dst_off[c], dst_sz[c]);
+    if (got != dst_sz[c]) err.store(c + 1, std::memory_order_relaxed);
+  });
+  return -err.load();
 }
 
 // ------------------------------------------------------- byte-plane shuffle

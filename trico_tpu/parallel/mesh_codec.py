@@ -26,6 +26,7 @@ Works identically on one chip, a virtual CPU mesh (tests /
 from __future__ import annotations
 
 import functools
+import struct
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +99,170 @@ def _sharded_decode(payloads, L, e1, e2, mesh):
     payloads = jax.lax.with_sharding_constraint(payloads, spec)
     dec = lambda pl: fp_jax.decode_f32_chunks_v2(pl, L, e1, e2)
     return jax.vmap(dec)(payloads)
+
+
+# ---------------------------------------------------------------------------
+# mesh → archive bytes: the distributed product (reference archive assembly
+# semantics: trico/trico.c:126-213, one [size][payload] substream per plane)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
+def _shardmap_encode_f32(values, e1, e2, mesh):
+    """shard_map encode: (p, Cp, L) uint32, chunk axis sharded over the mesh.
+
+    Each device encodes only its local chunks (communication-free); the
+    per-chunk compressed sizes are all-gathered over the `chunks` axis (ICI)
+    and exclusive-scanned so every device holds the deterministic archive
+    offsets. Returns (payloads sharded, sizes sharded, offsets replicated).
+    """
+
+    def local(vals):
+        enc = lambda v: fp_jax.encode_f32_chunks_v2(v, e1, e2)
+        payloads, sizes = jax.vmap(enc)(vals)  # (p, C_loc, B), (p, C_loc)
+        # every device learns every chunk's size (one ICI all-gather), then
+        # exclusive-scans in (plane, chunk) order for deterministic archive
+        # offsets; each device returns its own chunks' offsets
+        all_sizes = jax.lax.all_gather(sizes, "chunks", axis=1, tiled=True)
+        flat = all_sizes.reshape(-1).astype(jnp.int32)
+        offs = (jnp.cumsum(flat) - flat).reshape(all_sizes.shape)
+        C_loc = sizes.shape[1]
+        idx = jax.lax.axis_index("chunks")
+        offs_local = jax.lax.dynamic_slice_in_dim(offs, idx * C_loc, C_loc, axis=1)
+        return payloads, sizes, offs_local
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, "chunks", None),
+        out_specs=(P(None, "chunks", None), P(None, "chunks"), P(None, "chunks")),
+    )(values)
+
+
+def _gather_to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-host sharded) array fully to this host.
+
+    Within one process ``np.asarray`` suffices; across processes the byte
+    gather rides DCN via ``multihost_utils.process_allgather``."""
+    if jax.process_count() > 1:  # pragma: no cover - needs a real multi-host pod
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
+                  mesh: Mesh | None = None) -> bytes:
+    """Distributed encode of a mesh into a complete v1 ``.trc`` archive.
+
+    vertices (n, 3) float32 are split into x/y/z planes (the vmapped plane
+    axis), each plane into ``chunk_len``-value chunks sharded over ``mesh``
+    (the DP axis); the collective size-exscan fixes every payload's archive
+    offset, and the host concatenates the gathered bytes in chunk order —
+    bit-identical output to ``ArchiveWriter(chunk_len=..., layout='tpu')``
+    regardless of device count. triangles (m, 3) uint32 go through the
+    chunked-LZ4 byte-plane path (independent blocks, threaded host emit).
+
+    Returns archive bytes decodable by :class:`trico_tpu.archive.ArchiveReader`.
+    """
+    from .. import chunked as _chunked
+    from ..archive import F32_EXP, MAGIC, StreamType
+    from ..codec import transpose
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    verts = np.ascontiguousarray(vertices, np.float32)
+    raw = verts.view(np.uint32).reshape(-1, 3)
+    count = raw.shape[0]
+    e1, e2 = F32_EXP  # matches ArchiveWriter(chunk_len=...) for bit-identity
+    chunk_len = (chunk_len // 8) * 8 or 8
+    planes = np.stack(transpose.aos_to_soa(raw, 3))  # (3, N)
+    N = planes.shape[1]
+    C = N // chunk_len
+
+    parts: list[bytes] = [struct.pack("<II", MAGIC, 1)]
+    parts.append(struct.pack("<BI", int(StreamType.vertex_float), count))
+    payloads = sizes = None
+    if C:
+        Cp = max(((C + n_dev - 1) // n_dev) * n_dev, n_dev)
+        vals = np.zeros((3, Cp, chunk_len), np.uint32)
+        vals[:, :C] = planes[:, : C * chunk_len].reshape(3, C, chunk_len)
+        dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
+            jnp.asarray(vals), e1, e2, mesh=mesh
+        )
+        payloads = _gather_to_host(dev_payloads)
+        sizes = _gather_to_host(dev_sizes)
+    for i in range(3):
+        chunks = [payloads[i, c, : sizes[i, c]].tobytes() for c in range(C)] \
+            if C else []
+        tail = planes[i, C * chunk_len :]
+        if len(tail):
+            chunks.append(_chunked._host_fp_encode(tail, e1, e2))
+        head = struct.pack("<BBIII", 1, 4, chunk_len, N, len(chunks))
+        sizes_blob = struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks])
+        container = head + sizes_blob + b"".join(chunks)
+        parts.append(struct.pack("<I", len(container)))
+        parts.append(container)
+
+    if triangles is not None:
+        tris = np.ascontiguousarray(triangles, np.uint32)
+        parts.append(struct.pack("<BI", int(StreamType.triangle_uint32),
+                                 tris.size // 3))
+        for plane in transpose.byte_planes(tris):
+            payload = _chunked.encode_lz4_chunked(plane)
+            parts.append(struct.pack("<I", len(payload)))
+            parts.append(payload)
+    return b"".join(parts)
+
+
+def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
+    """Collective-free distributed decode of one chunked f32 container.
+
+    Host parses the self-describing framing (sizes → offsets), scatters the
+    padded payload matrix over the mesh's chunk axis, and every device decodes
+    its chunks with zero communication (the v2 layout parse is gather-free).
+    Returns the flat uint32 value array.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    data = bytes(container)
+    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1 or (flags & 2) or not (flags & 4):
+        raise ValueError("expected a v1 f32 tpu-layout chunked container")
+    sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
+    off = 14 + 4 * n_chunks
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
+    n_full = n_chunks - 1 if total % chunk_len or total == 0 else n_chunks
+
+    out = np.empty(total, np.uint32)
+    if n_full:
+        B = fp_jax.f32_max_chunk_bytes(chunk_len)
+        Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
+        mat = np.zeros((Cp, B), np.uint8)
+        buf = np.frombuffer(data, np.uint8)
+        for c in range(n_full):
+            mat[c, : sizes[c]] = buf[offsets[c] : offsets[c + 1]]
+        e1 = (mat[0, 0] >> 4) << 1
+        e2 = (mat[0, 0] & 15) << 1
+
+        dec = jax.shard_map(
+            lambda m: fp_jax.decode_f32_chunks_v2(m, chunk_len, int(e1), int(e2)),
+            mesh=mesh,
+            in_specs=P("chunks", None),
+            out_specs=P("chunks", None),
+        )
+        vals = _gather_to_host(jax.jit(dec)(jnp.asarray(mat)))
+        out[: n_full * chunk_len] = vals[:n_full].reshape(-1)
+    for c in range(n_full, n_chunks):
+        # the final partial chunk is host-coded in reference layout
+        from .. import chunked as _chunked
+
+        payload = np.frombuffer(data, np.uint8)[offsets[c] : offsets[c + 1]]
+        vals = _chunked._host_fp_decode(payload, 32)
+        out[c * chunk_len : c * chunk_len + len(vals)] = vals
+    return out
 
 
 def roundtrip_step(values, chunk_len: int, mesh: Mesh, e1: int = 4, e2: int = 10):
