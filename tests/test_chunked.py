@@ -171,3 +171,54 @@ def test_parallel_lz4_block_decode_matches_serial():
         assert not np.array_equal(bad, plane)
     except (ValueError, RuntimeError):
         pass
+
+
+def test_adaptive_chunked_roundtrip_and_smaller():
+    """Per-chunk adaptive exponents (device argmin over F32_TPU_CANDIDATES):
+    container decodes exactly on every path, never larger than any single
+    fixed candidate, and host/device producers agree bit-for-bit."""
+    from conftest import mesh_like_floats
+    from trico_tpu.codec.fp_jax import F32_TPU_CANDIDATES
+
+    vals = mesh_like_floats(8 * 512 + 100, seed=31).view(np.uint32)
+    a = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True,
+                               layout="tpu", optimize=True)
+    b = chunked.encode_chunked(vals, chunk_len=512, use_tpu=False,
+                               layout="tpu", optimize=True)
+    assert a == b
+    for use_tpu in (True, False):
+        out, bits = chunked.decode_chunked(a, use_tpu=use_tpu)
+        assert bits == 32
+        np.testing.assert_array_equal(out, vals)
+    for e1, e2 in F32_TPU_CANDIDATES:
+        fixed = chunked.encode_chunked(vals, chunk_len=512, e1=e1, e2=e2,
+                                       layout="tpu")
+        assert len(a) <= len(fixed)
+
+
+def test_adaptive_ref_layout_roundtrip():
+    from conftest import mesh_like_floats
+
+    vals = mesh_like_floats(4 * 256, seed=32).view(np.uint32)
+    a = chunked.encode_chunked(vals, chunk_len=256, use_tpu=True,
+                               layout="ref", optimize=True)
+    b = chunked.encode_chunked(vals, chunk_len=256, use_tpu=False,
+                               layout="ref", optimize=True)
+    assert a == b
+    out, _ = chunked.decode_chunked(a, use_tpu=False)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_v1_archive_adaptive_default():
+    """ArchiveWriter(chunk_len=...) now adapts exponents per chunk."""
+    from conftest import mesh_like_floats
+
+    verts = np.stack([mesh_like_floats(3000, s) for s in (0, 1, 2)], axis=1)
+    w_opt = ArchiveWriter(chunk_len=512)
+    w_opt.write_vertices(verts)
+    w_fix = ArchiveWriter(chunk_len=512, optimize=False)
+    w_fix.write_vertices(verts)
+    assert len(w_opt.tobytes()) <= len(w_fix.tobytes())
+    r = ArchiveReader(w_opt.tobytes())
+    np.testing.assert_array_equal(
+        r.read_vertices().view(np.uint32), verts.view(np.uint32))

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from trico_tpu import native
+import jax.numpy as jnp
 from trico_tpu.codec import fp_jax, fp_ref
 from conftest import mesh_like_floats
 
@@ -193,3 +194,43 @@ def test_logshift_max_displacement():
         )
     )
     assert back[0, S - 1] == 0xAB
+
+
+class TestSortPredictor:
+    """Closed-form sort-based predictor (fp_jax._predict_sort): bit-identical
+    to the one-hot scan for every exponent combination, including the edge
+    cases e=0 and the big-table candidates the scan can't afford on device.
+    Reference recurrences: floating_point_stream_compression.c:76-84, 128-195."""
+
+    @pytest.mark.parametrize(
+        "e1,e2",
+        [(4, 10), (4, 8), (0, 10), (4, 0), (10, 16), (0, 0), (2, 2), (16, 20)],
+    )
+    def test_matches_scan(self, e1, e2):
+        C, L = 5, 256
+        vals = mesh_like_floats(C * L, seed=e1 * 31 + e2).view(np.uint32).reshape(C, L)
+        x = jnp.asarray(vals)
+        bc_s, res_s = fp_jax._predict_scan(x, *fp_jax._norm_exponents(e1, e2))
+        bc_c, res_c = fp_jax.predict_f32_chunks_sort(x, e1, e2)
+        np.testing.assert_array_equal(np.asarray(bc_s), np.asarray(bc_c))
+        np.testing.assert_array_equal(np.asarray(res_s), np.asarray(res_c))
+
+    def test_matches_scan_random_bits(self):
+        r = np.random.default_rng(0)
+        vals = r.integers(0, 2**32, (3, 512), dtype=np.uint32)
+        x = jnp.asarray(vals)
+        for e1, e2 in [(4, 10), (8, 14)]:
+            bc_s, res_s = fp_jax._predict_scan(x, *fp_jax._norm_exponents(e1, e2))
+            bc_c, res_c = fp_jax.predict_f32_chunks_sort(x, e1, e2)
+            np.testing.assert_array_equal(np.asarray(bc_s), np.asarray(bc_c))
+            np.testing.assert_array_equal(np.asarray(res_s), np.asarray(res_c))
+
+    def test_encode_composite_with_sort_predictor(self, monkeypatch):
+        """Full v2 encode->decode with the sort predictor forced."""
+        monkeypatch.setenv("TRICO_TPU_PREDICT", "sort")
+        C, L = 4, 512
+        vals = mesh_like_floats(C * L, seed=9).view(np.uint32).reshape(C, L)
+        x = jnp.asarray(vals)
+        payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 10)
+        dec = fp_jax.decode_f32_chunks_v2(payloads, L, 4, 10)
+        np.testing.assert_array_equal(np.asarray(dec), vals)

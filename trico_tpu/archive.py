@@ -115,6 +115,9 @@ class ArchiveWriter:
                  layout: str | None = None, optimize: bool = True):
         self._fp_enc, _, self._lz4_c, _ = _backends(use_native)
         self._chunk_len = chunk_len
+        # whole-plane adaptive exponents (v0); chunked archives adapt
+        # per chunk inside encode_chunked instead (device argmin — one
+        # program, no 5x host encodes)
         self._optimize = optimize and not chunk_len
         version = 1 if chunk_len else VERSION
         self._parts: list[bytes] = [struct.pack("<II", MAGIC, version)]
@@ -122,6 +125,7 @@ class ArchiveWriter:
             from . import chunked as _chunked
 
             cl = chunk_len
+            chunk_opt = optimize
             # Chunk layout: v2 "tpu" (tags-first, gather-free device decode)
             # when a device backend is up, reference layout otherwise (the
             # host codec would pay a per-chunk relayout for no benefit).
@@ -131,7 +135,8 @@ class ArchiveWriter:
             lay = layout
 
             def _enc(vals, e1, e2):
-                return _chunked.encode_chunked(vals, cl, e1, e2, layout=lay)
+                return _chunked.encode_chunked(vals, cl, e1, e2, layout=lay,
+                                               optimize=chunk_opt)
 
             self._fp_enc = _enc
             self._lz4_c = _chunked.encode_lz4_chunked

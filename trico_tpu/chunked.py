@@ -93,9 +93,21 @@ def _host_fp_decode(payload, bits):
     return fp_ref.decompress_f32(payload) if bits == 32 else fp_ref.decompress_f64(payload)
 
 
+def _host_fp_encode_best(vals, candidates) -> bytes:
+    """Host encode with the smallest payload over the candidate exponents
+    (first strictly-smaller wins — same tie rule as the device argmin)."""
+    best = None
+    for e1, e2 in candidates:
+        p = _host_fp_encode(vals, e1, e2)
+        if best is None or len(p) < len(best):
+            best = p
+    return best
+
+
 def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                    e1: int | None = None, e2: int | None = None,
-                   use_tpu: bool | None = None, layout: str = "ref") -> bytes:
+                   use_tpu: bool | None = None, layout: str = "ref",
+                   optimize: bool = False) -> bytes:
     """Encode a uint32/uint64 raw-bits stream into a chunked container.
 
     f32 full chunks go through the TPU path (``fp_jax``) when a non-CPU JAX
@@ -103,6 +115,11 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     host codec. Output bytes are identical either way for a given ``layout``
     ("ref" = reference chunk layout; "tpu" = v2 tags-first layout, the fast
     gather-free device decode path — both widths).
+
+    ``optimize=True`` (f32 only) picks each chunk's hash exponents adaptively
+    from ``fp_jax.F32_TPU_CANDIDATES`` — one device program, exact sizes from
+    the bcodes, no extra host encodes; chunks stay self-describing via their
+    hash_info byte, so any decoder handles the mix.
     """
     if values.dtype == np.uint32:
         bits = 32
@@ -110,6 +127,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             e1, e2 = F32_TPU_EXP
     elif values.dtype == np.uint64:
         bits = 64
+        optimize = False
         if e1 is None:
             e1, e2 = 20, 20
     else:
@@ -120,6 +138,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         chunk_len = (chunk_len // 8) * 8 or 8
     n = len(values)
     n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
+    from .codec.fp_jax import F32_TPU_CANDIDATES
 
     payloads: list[bytes] = []
     if n >= chunk_len:
@@ -131,8 +150,12 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             if bits == 32:
                 from .codec import fp_jax
 
-                mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2,
-                                                     layout=layout)
+                if optimize:
+                    mat, sizes, tail = fp_jax.encode_f32_adaptive(
+                        values, chunk_len, F32_TPU_CANDIDATES, layout=layout)
+                else:
+                    mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2,
+                                                         layout=layout)
             elif native.available() or layout == "tpu":
                 from .codec import fp64_jax
 
@@ -144,10 +167,16 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             if sizes is not None:
                 payloads = [mat[c, : sizes[c]].tobytes() for c in range(len(sizes))]
                 if len(tail):
-                    payloads.append(_host_fp_encode(tail, e1, e2))
+                    payloads.append(
+                        _host_fp_encode_best(tail, F32_TPU_CANDIDATES)
+                        if optimize else _host_fp_encode(tail, e1, e2))
     if not payloads:
         for i in range(n_chunks):
-            p = _host_fp_encode(values[i * chunk_len : (i + 1) * chunk_len], e1, e2)
+            vals_i = values[i * chunk_len : (i + 1) * chunk_len]
+            if optimize:
+                p = _host_fp_encode_best(vals_i, F32_TPU_CANDIDATES)
+            else:
+                p = _host_fp_encode(vals_i, e1, e2)
             full = (i + 1) * chunk_len <= n
             if layout == "tpu" and full:
                 p = _relayout_payload(p, bits, to_v2=True)

@@ -7,9 +7,13 @@ one-hot compare/select, add/sub with explicit borrow/carry, shifts by
 ``64 - e >= 34`` reading only the hi word. Group = 2 values, 1 tag byte of two
 4-bit bcodes (reference fps.c:421-561; format notes in fp_ref.py).
 
-Byte packing/parsing is host-side (native ``tt_fp64_pack_chunks`` /
-``tt_fp64_parse_chunks``); every chunk payload is a standard reference f64
-substream.
+Byte packing/parsing runs all-device for the v2 "tpu" layout
+(:func:`pack_f64_chunks_v2` / :func:`parse_f64_chunks_v2` — the same monotone
+log-shift networks as f32, with 8 candidate bytes per value), so doubles run
+the full encode→decode pipeline on device exactly like f32 (reference f64
+codec: floating_point_stream_compression.c:576-1164). Reference-layout chunks
+use the native host packer (``tt_fp64_pack_chunks``/``tt_fp64_parse_chunks``);
+every chunk payload is a standard reference f64 substream either way.
 """
 
 from __future__ import annotations

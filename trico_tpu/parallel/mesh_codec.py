@@ -115,10 +115,15 @@ def _shardmap_encode_f32(values, e1, e2, mesh):
     per-chunk compressed sizes are all-gathered over the `chunks` axis (ICI)
     and exclusive-scanned so every device holds the deterministic archive
     offsets. Returns (payloads sharded, sizes sharded, offsets replicated).
+    Pass ``e1=None`` for adaptive per-chunk exponents (the production
+    default, matching ``ArchiveWriter(chunk_len=...)``).
     """
 
     def local(vals):
-        enc = lambda v: fp_jax.encode_f32_chunks_v2(v, e1, e2)
+        if e1 is None:
+            enc = lambda v: fp_jax.encode_f32_chunks_v2_adaptive(v)
+        else:
+            enc = lambda v: fp_jax.encode_f32_chunks_v2(v, e1, e2)
         payloads, sizes = jax.vmap(enc)(vals)  # (p, C_loc, B), (p, C_loc)
         # every device learns every chunk's size (one ICI all-gather), then
         # exclusive-scans in (plane, chunk) order for deterministic archive
@@ -152,7 +157,7 @@ def _gather_to_host(x) -> np.ndarray:
 
 
 def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
-                  mesh: Mesh | None = None) -> bytes:
+                  mesh: Mesh | None = None, optimize: bool = True) -> bytes:
     """Distributed encode of a mesh into a complete v1 ``.trc`` archive.
 
     vertices (n, 3) float32 are split into x/y/z planes (the vmapped plane
@@ -189,7 +194,8 @@ def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
         vals = np.zeros((3, Cp, chunk_len), np.uint32)
         vals[:, :C] = planes[:, : C * chunk_len].reshape(3, C, chunk_len)
         dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
-            jnp.asarray(vals), e1, e2, mesh=mesh
+            jnp.asarray(vals), None if optimize else e1,
+            None if optimize else e2, mesh=mesh
         )
         payloads = _gather_to_host(dev_payloads)
         sizes = _gather_to_host(dev_sizes)
@@ -198,7 +204,9 @@ def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
             if C else []
         tail = planes[i, C * chunk_len :]
         if len(tail):
-            chunks.append(_chunked._host_fp_encode(tail, e1, e2))
+            chunks.append(
+                _chunked._host_fp_encode_best(tail, fp_jax.F32_TPU_CANDIDATES)
+                if optimize else _chunked._host_fp_encode(tail, e1, e2))
         head = struct.pack("<BBIII", 1, 4, chunk_len, N, len(chunks))
         sizes_blob = struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks])
         container = head + sizes_blob + b"".join(chunks)
@@ -239,22 +247,31 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
     out = np.empty(total, np.uint32)
     if n_full:
         B = fp_jax.f32_max_chunk_bytes(chunk_len)
-        Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
-        mat = np.zeros((Cp, B), np.uint8)
+        mat = np.zeros((n_full, B), np.uint8)
         buf = np.frombuffer(data, np.uint8)
         for c in range(n_full):
             mat[c, : sizes[c]] = buf[offsets[c] : offsets[c + 1]]
-        e1 = (mat[0, 0] >> 4) << 1
-        e2 = (mat[0, 0] & 15) << 1
+        # exponents are self-describing per chunk (adaptive encode): decode
+        # each hash_info group with its own static-exponent program
+        for hi in np.unique(mat[:, 0]):
+            idx = np.nonzero(mat[:, 0] == hi)[0]
+            e1 = int(mat[idx[0], 0] >> 4) << 1
+            e2 = int(mat[idx[0], 0] & 15) << 1
+            Cg = len(idx)
+            Cp = max(((Cg + n_dev - 1) // n_dev) * n_dev, n_dev)
+            sub = np.zeros((Cp, B), np.uint8)
+            sub[:Cg] = mat[idx]
 
-        dec = jax.shard_map(
-            lambda m: fp_jax.decode_f32_chunks_v2(m, chunk_len, int(e1), int(e2)),
-            mesh=mesh,
-            in_specs=P("chunks", None),
-            out_specs=P("chunks", None),
-        )
-        vals = _gather_to_host(jax.jit(dec)(jnp.asarray(mat)))
-        out[: n_full * chunk_len] = vals[:n_full].reshape(-1)
+            dec = jax.shard_map(
+                lambda m, e1=e1, e2=e2: fp_jax.decode_f32_chunks_v2(
+                    m, chunk_len, e1, e2),
+                mesh=mesh,
+                in_specs=P("chunks", None),
+                out_specs=P("chunks", None),
+            )
+            vals = _gather_to_host(jax.jit(dec)(jnp.asarray(sub)))[:Cg]
+            for j, c in enumerate(idx):
+                out[c * chunk_len : (c + 1) * chunk_len] = vals[j]
     for c in range(n_full, n_chunks):
         # the final partial chunk is host-coded in reference layout
         from .. import chunked as _chunked
