@@ -49,35 +49,51 @@ raw = vals.view(np.uint32)
 C = n_values // chunk_len
 x = jnp.asarray(raw[: C * chunk_len].reshape(C, chunk_len))
 
+E1, E2 = 4, 8  # production chunked-mode exponents (chunked.F32_TPU_EXP)
+
 # warm-up / compile. Production format: v2 "tpu layout" chunk payloads
 # (tags front-loaded; bytes are a pure permutation of the reference layout,
 # same compressed size) — encode and decode both run entirely on device.
-payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 8)
+payloads, sizes = fp_jax.encode_f32_chunks_v2(x, E1, E2)
 jax.block_until_ready((payloads, sizes))
 
 reps = 10
 t0 = time.perf_counter()
 for _ in range(reps):
-    payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 8)
+    payloads, sizes = fp_jax.encode_f32_chunks_v2(x, E1, E2)
 jax.block_until_ready((payloads, sizes))
 dt = (time.perf_counter() - t0) / reps
 gbps = C * chunk_len * 4 / 1e9 / dt
 
 # decode: device-resident (compressed payloads in HBM -> values in HBM),
 # symmetric with the encode measurement (which also leaves payloads in HBM).
-dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, 4, 8)
+dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, E1, E2)
 jax.block_until_ready(dec)
 t0 = time.perf_counter()
 for _ in range(reps):
-    dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, 4, 8)
+    dec = fp_jax.decode_f32_chunks_v2(payloads, chunk_len, E1, E2)
 jax.block_until_ready(dec)
 ddt = (time.perf_counter() - t0) / reps
 dgbps = C * chunk_len * 4 / 1e9 / ddt
 
+# adaptive per-chunk exponents: the ArchiveWriter(chunk_len=...) default
+pay_a, sz_a = fp_jax.encode_f32_chunks_v2_adaptive(x)
+jax.block_until_ready((pay_a, sz_a))
+t0 = time.perf_counter()
+for _ in range(reps):
+    pay_a, sz_a = fp_jax.encode_f32_chunks_v2_adaptive(x)
+jax.block_until_ready((pay_a, sz_a))
+adt = (time.perf_counter() - t0) / reps
+agbps = C * chunk_len * 4 / 1e9 / adt
+
 # small D2H: compressed size vector + exactness bit
 exact = bool(jnp.all(dec == x))
 comp_bytes = int(jnp.sum(sizes))
-json.dump({"gbps": gbps, "decode_gbps": dgbps, "ratio": C * chunk_len * 4 / comp_bytes,
+json.dump({"gbps": gbps, "decode_gbps": dgbps,
+           "adaptive_encode_gbps": agbps,
+           "ratio": C * chunk_len * 4 / comp_bytes,
+           "adaptive_ratio": C * chunk_len * 4 / int(jnp.sum(sz_a)),
+           "chunk_len": chunk_len,
            "exact": exact, "backend": jax.default_backend()}, open(out_path, "w"))
 """
 
@@ -171,7 +187,8 @@ def bunny_extra():
 
 def main():
     n_values = int(os.environ.get("TRICO_BENCH_VALUES", str(8 * 1024 * 1024)))
-    chunk_len = int(os.environ.get("TRICO_BENCH_CHUNK", "1024"))
+    # production default chunk length (chunked.DEFAULT_CHUNK_LEN)
+    chunk_len = int(os.environ.get("TRICO_BENCH_CHUNK", "4096"))
     result = run_device_child(n_values, chunk_len)
     if result is None:
         result = run_device_child(n_values, chunk_len)  # one retry

@@ -234,3 +234,50 @@ class TestSortPredictor:
         payloads, sizes = fp_jax.encode_f32_chunks_v2(x, 4, 10)
         dec = fp_jax.decode_f32_chunks_v2(payloads, L, 4, 10)
         np.testing.assert_array_equal(np.asarray(dec), vals)
+
+
+def test_v2_row_blocking_matches_oracle(monkeypatch):
+    """Row-blocked v2 entry points (the XLA:TPU large-batch miscompile
+    workaround, scripts/tpu_split_probe.py) are bit-identical to the oracle,
+    including the zero-padding path (C not a multiple of the block)."""
+    import jax.numpy as jnp
+
+    from trico_tpu.codec import fp_jax, fp_ref
+
+    monkeypatch.setenv("TRICO_TPU_V2_ROW_BLOCK", "4")
+    L, C = 64, 13  # 13 rows / block 4 -> 4 blocks with 3 rows of padding
+    vals = mesh_like_floats(C * L, seed=55).view(np.uint32).reshape(C, L)
+    pay, sz = fp_jax.encode_f32_chunks_v2(jnp.asarray(vals), 4, 8)
+    pay, sz = np.asarray(pay), np.asarray(sz)
+    assert pay.shape[0] == C and sz.shape == (C,)
+    for c in range(C):
+        expect = fp_jax.relayout_f32_v1_to_v2(
+            np.frombuffer(fp_ref.compress(vals[c], 4, 8), np.uint8))
+        assert pay[c, : sz[c]].tobytes() == expect.tobytes()
+    dec = np.asarray(fp_jax.decode_f32_chunks_v2(jnp.asarray(pay), L, 4, 8))
+    np.testing.assert_array_equal(dec, vals)
+    # adaptive encode under blocking: still self-describing + decodable
+    pay_a, sz_a = fp_jax.encode_f32_chunks_v2_adaptive(jnp.asarray(vals))
+    pay_a, sz_a = np.asarray(pay_a), np.asarray(sz_a)
+    for hi in np.unique(pay_a[:, 0]):
+        idx = np.nonzero(pay_a[:, 0] == hi)[0]
+        e1, e2 = (int(hi) >> 4) << 1, (int(hi) & 15) << 1
+        out = np.asarray(fp_jax.decode_f32_chunks_v2(
+            jnp.asarray(pay_a[idx]), L, e1, e2))
+        np.testing.assert_array_equal(out, vals[idx])
+
+
+def test_v2_f64_row_blocking_roundtrip(monkeypatch):
+    import jax.numpy as jnp
+
+    from trico_tpu.codec import fp64_jax
+
+    monkeypatch.setenv("TRICO_TPU_V2_ROW_BLOCK", "4")
+    L, C = 32, 11
+    vals = mesh_like_floats(C * L, seed=56, dtype=np.float64).view(np.uint64)
+    hi = (vals >> np.uint64(32)).astype(np.uint32).reshape(C, L)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(C, L)
+    pay, sz = fp64_jax.encode_f64_chunks_v2(jnp.asarray(hi), jnp.asarray(lo), 20, 20)
+    vh, vl = fp64_jax.decode_f64_chunks_v2(jnp.asarray(np.asarray(pay)), L, 20, 20)
+    np.testing.assert_array_equal(np.asarray(vh), hi)
+    np.testing.assert_array_equal(np.asarray(vl), lo)

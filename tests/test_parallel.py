@@ -153,3 +153,81 @@ def test_decode_vertices_sharded_roundtrip():
     mesh = mesh_codec.make_mesh(8)
     out = mesh_codec.decode_vertices_sharded(blob, mesh=mesh)
     np.testing.assert_array_equal(out, vals)
+
+@needs8
+def test_compress_mesh_full_streams_roundtrip():
+    """Full-mesh distributed pipeline: vertices + triangles + normals +
+    colors + uvs -> one v1 archive -> sharded decompress_mesh, bit-exact."""
+    n = 1500
+    rng = np.random.default_rng(3)
+    verts = np.stack([mesh_like_floats(n, seed=s) for s in (1, 2, 3)], axis=1)
+    tris = rng.integers(0, n, (2200, 3)).astype(np.uint32)
+    normals = np.stack([mesh_like_floats(n, seed=s) for s in (4, 5, 6)], axis=1)
+    colors = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    uvs = np.stack([mesh_like_floats(n, seed=s) for s in (7, 8)], axis=1)
+    mesh = mesh_codec.make_mesh(8)
+    blob = mesh_codec.compress_mesh(
+        verts, tris, vertex_normals=normals, vertex_colors=colors,
+        uv_per_vertex=uvs, chunk_len=128, mesh=mesh)
+
+    out = mesh_codec.decompress_mesh(blob, mesh=mesh)
+    np.testing.assert_array_equal(out["vertices"].view(np.uint32),
+                                  verts.astype(np.float32).view(np.uint32))
+    np.testing.assert_array_equal(out["triangles"], tris)
+    np.testing.assert_array_equal(out["vertex_normals"].view(np.uint32),
+                                  normals.astype(np.float32).view(np.uint32))
+    np.testing.assert_array_equal(out["vertex_colors"], colors)
+    np.testing.assert_array_equal(out["uv_per_vertex"].view(np.uint32),
+                                  uvs.astype(np.float32).view(np.uint32))
+
+    # and the plain host reader agrees stream by stream
+    from trico_tpu.archive import ArchiveReader
+
+    r = ArchiveReader(blob)
+    np.testing.assert_array_equal(
+        r.read_vertices().view(np.uint32),
+        verts.astype(np.float32).view(np.uint32))
+    np.testing.assert_array_equal(r.read_triangles(), tris)
+    np.testing.assert_array_equal(
+        r.read_vertex_normals().view(np.uint32),
+        normals.astype(np.float32).view(np.uint32))
+    np.testing.assert_array_equal(r.read_vertex_colors(), colors)
+    np.testing.assert_array_equal(
+        r.read_uv_per_vertex().view(np.uint32),
+        uvs.astype(np.float32).view(np.uint32))
+
+
+@needs8
+def test_compress_mesh_f64_vertices():
+    """Distributed f64 vertex encode (shard_map over (hi, lo) word planes):
+    bit-exact round-trip and identical bytes to the host ArchiveWriter."""
+    from trico_tpu.archive import ArchiveReader, ArchiveWriter
+
+    n = 700  # chunk_len 128 -> 5 full chunks + tail per plane
+    verts64 = np.stack(
+        [mesh_like_floats(n, seed=s, dtype=np.float64) for s in (11, 12, 13)],
+        axis=1)
+    mesh = mesh_codec.make_mesh(8)
+    blob = mesh_codec.compress_mesh(verts64, chunk_len=128, mesh=mesh)
+    r = ArchiveReader(blob)
+    np.testing.assert_array_equal(
+        r.read_vertices_double().view(np.uint64), verts64.view(np.uint64))
+
+    w = ArchiveWriter(chunk_len=128, layout="tpu")
+    w.write_vertices_double(verts64)
+    assert blob == w.tobytes(), \
+        "distributed f64 archive differs from host ArchiveWriter bytes"
+
+
+@needs8
+def test_compress_mesh_f64_device_count_invariance():
+    n = 512
+    verts64 = np.stack(
+        [mesh_like_floats(n, seed=s, dtype=np.float64) for s in (21, 22, 23)],
+        axis=1)
+    blobs = {
+        mesh_codec.compress_mesh(verts64, chunk_len=64,
+                                 mesh=mesh_codec.make_mesh(k))
+        for k in (1, 2, 8)
+    }
+    assert len(blobs) == 1

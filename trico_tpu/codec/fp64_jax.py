@@ -28,6 +28,7 @@ from .fp_jax import (
     _SCAN_UNROLL,
     _compact_monotone,
     _expand_monotone,
+    _map_row_blocks,
     _onehot_read,
     _onehot_write,
     _pad_rows,
@@ -91,9 +92,11 @@ def predict_f64_chunks(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20)
             x1h, x1l, x2h, x2l,
         )
 
-    z = jnp.zeros((C,), jnp.uint32)
-    zt1 = jnp.zeros((C, T1), jnp.uint32)
-    zt2 = jnp.zeros((C, T2), jnp.uint32)
+    # input-derived zeros: under shard_map a literal jnp.zeros carry is
+    # unvarying and mismatches the varying carry output (see fp_jax VMA note)
+    z = hi[:, 0] ^ hi[:, 0]
+    zt1 = jnp.zeros((C, T1), jnp.uint32) + z[:, None]
+    zt2 = jnp.zeros((C, T2), jnp.uint32) + z[:, None]
     carry0 = (zt1, zt1, zt2, zt2, z, z, z, z, z, z, z, z)
     _, (x1hT, x1lT, x2hT, x2lT) = jax.lax.scan(
         step, carry0, (hi.T, lo.T), unroll=_SCAN_UNROLL
@@ -158,9 +161,9 @@ def replay_f64_chunks(bcodes: jax.Array, xhi: jax.Array, xlo: jax.Array,
         p2l = _onehot_read(t2l, h2n, iota2)
         return (t1h, t1l, t2h, t2l, h1n, h2n, p1h, p1l, p2h, p2l, vh, vl), (vh, vl)
 
-    z = jnp.zeros((C,), jnp.uint32)
-    zt1 = jnp.zeros((C, T1), jnp.uint32)
-    zt2 = jnp.zeros((C, T2), jnp.uint32)
+    z = xhi[:, 0] ^ xhi[:, 0]  # input-derived zeros (shard_map VMA typing)
+    zt1 = jnp.zeros((C, T1), jnp.uint32) + z[:, None]
+    zt2 = jnp.zeros((C, T2), jnp.uint32) + z[:, None]
     carry0 = (zt1, zt1, zt2, zt2, z, z, z, z, z, z, z, z)
     _, (vhT, vlT) = jax.lax.scan(
         step, carry0,
@@ -293,7 +296,13 @@ def _res_byte64(rhi, rlo, b_idx):
 def pack_f64_chunks_v2(bcode: jax.Array, rhi: jax.Array, rlo: jax.Array,
                        e1: int = 20, e2: int = 20):
     """Device packing into f64 v2 layout: (C, L) (bcode, res hi/lo) →
-    ((C, B) u8 payloads, (C,) sizes)."""
+    ((C, B) u8 payloads, (C,) sizes). Row-blocked (fp_jax._row_block)."""
+    return _map_row_blocks(
+        lambda b, h, l: _pack_f64_chunks_v2_impl(b, h, l, e1, e2),
+        bcode, rhi, rlo)
+
+
+def _pack_f64_chunks_v2_impl(bcode, rhi, rlo, e1, e2):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = bcode.shape
     G = L // 2
@@ -333,7 +342,13 @@ def pack_f64_chunks_v2(bcode: jax.Array, rhi: jax.Array, rlo: jax.Array,
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def parse_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20):
-    """Device parse of f64 v2 payloads → (bcodes (C,L) u8, xor hi/lo (C,L) u32)."""
+    """Device parse of f64 v2 payloads → (bcodes (C,L) u8, xor hi/lo (C,L) u32).
+    Row-blocked (fp_jax._row_block)."""
+    return _map_row_blocks(
+        lambda p: _parse_f64_chunks_v2_impl(p, L, e1, e2), payloads)
+
+
+def _parse_f64_chunks_v2_impl(payloads, L, e1, e2):
     C, B = payloads.shape
     assert L % 2 == 0
     G = L // 2
@@ -375,16 +390,27 @@ def parse_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20)
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20):
-    """All-device f64 encode to v2 payloads: (C, L) hi/lo u32 → ((C, B) u8, sizes)."""
-    bcode, rh, rl = predict_f64_chunks(hi, lo, e1, e2)
-    return pack_f64_chunks_v2(bcode, rh, rl, e1, e2)
+    """All-device f64 encode to v2 payloads: (C, L) hi/lo u32 → ((C, B) u8, sizes).
+    Row-blocked as one unit (predict + pack per block)."""
+
+    def enc(h, l):
+        bcode, rh, rl = predict_f64_chunks(h, l, e1, e2)
+        return _pack_f64_chunks_v2_impl(
+            bcode, rh, rl, *_norm_exponents(e1, e2))
+
+    return _map_row_blocks(enc, hi, lo)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def decode_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20):
-    """All-device f64 decode of v2 payloads → (hi, lo) u32 value words."""
-    bcodes, xhi, xlo = parse_f64_chunks_v2(payloads, L, e1, e2)
-    return replay_f64_chunks(bcodes, xhi, xlo, e1, e2)
+    """All-device f64 decode of v2 payloads → (hi, lo) u32 value words.
+    Row-blocked as one unit (parse + replay per block)."""
+
+    def dec(p):
+        bcodes, xhi, xlo = _parse_f64_chunks_v2_impl(p, L, e1, e2)
+        return replay_f64_chunks(bcodes, xhi, xlo, e1, e2)
+
+    return _map_row_blocks(dec, payloads)
 
 
 def relayout_f64_v1_to_v2(payload: np.ndarray) -> np.ndarray:

@@ -46,6 +46,45 @@ def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
     return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
 
 
+def _row_block() -> int:
+    """Max chunk rows any v2 device program instance sees at once.
+
+    XLA:TPU miscompiles the fused v2 parse at large row counts (verified on
+    v5e: parse_f32_chunks_v2 drops residual bytes at C=8192/L=1024 while
+    C<=2048 is bit-exact, CPU is exact at every size, and optimization
+    barriers do NOT fix it — scripts/tpu_split_probe.py). Running the same
+    program per row block under ``lax.map`` is bit-exact, so every v2 entry
+    point is row-blocked to this bound. Also caps peak HBM per program.
+    """
+    return int(_os.environ.get("TRICO_TPU_V2_ROW_BLOCK", "2048"))
+
+
+def _map_row_blocks(impl, *arrs):
+    """Apply ``impl(*row_slices)`` over row blocks of the leading axis.
+
+    ``impl`` must be row-independent. Arrays are padded with zeros up to a
+    multiple of the block (zero rows parse/pack to valid all-zero chunks and
+    are sliced off).
+    """
+    B = _row_block()
+    C = arrs[0].shape[0]
+    if C <= B:
+        return impl(*arrs)
+    Cp = ((C + B - 1) // B) * B
+    if Cp != C:
+        arrs = tuple(
+            jnp.concatenate(
+                [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
+            for a in arrs)
+    blocked = tuple(a.reshape((Cp // B, B) + a.shape[1:]) for a in arrs)
+    outs = jax.lax.map(lambda t: impl(*t), blocked)
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    flat = tuple(
+        o.reshape((Cp,) + o.shape[2:])[:C] for o in outs)
+    return flat if len(flat) > 1 else flat[0]
+
+
 def f32_max_chunk_bytes(L: int) -> int:
     assert L % 8 == 0
     return 5 + 3 * (L // 8) + 4 * L
@@ -518,7 +557,14 @@ def _expand_monotone(payload, shift, valid, pb):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def pack_f32_chunks_v2(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10):
-    """Device packing into v2 layout: (C, L) (bcode, res) → ((C, B) u8, sizes)."""
+    """Device packing into v2 layout: (C, L) (bcode, res) → ((C, B) u8, sizes).
+
+    Row-blocked (`_row_block`) to dodge the XLA:TPU large-batch miscompile."""
+    return _map_row_blocks(
+        lambda b, q: _pack_f32_chunks_v2_impl(b, q, e1, e2), bcode, res)
+
+
+def _pack_f32_chunks_v2_impl(bcode, res, e1, e2):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = bcode.shape
     G = L // 8
@@ -571,8 +617,14 @@ def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
     log-shift passes (see `_compact_monotone`/`_expand_monotone`): pass #1
     compacts slot ids to rank order (the inverse of the pack compaction),
     pass #2 expands the region bytes back to their slots. No sorts, no
-    gathers, no scans.
+    gathers, no scans. Row-blocked: XLA:TPU miscompiles the fused parse at
+    C=8192/L=1024 (drops residual bytes; see `_row_block`).
     """
+    return _map_row_blocks(
+        lambda p: _parse_f32_chunks_v2_impl(p, L, e1, e2), payloads)
+
+
+def _parse_f32_chunks_v2_impl(payloads, L, e1, e2):
     C, B = payloads.shape
     assert L % 8 == 0
     G = L // 8
@@ -613,9 +665,16 @@ def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def encode_f32_chunks_v2(values: jax.Array, e1: int = 4, e2: int = 10):
-    """All-device encode to v2-layout payloads: (C, L) u32 → ((C, B) u8, sizes)."""
-    bcode, res = predict_f32_chunks(values, e1, e2)
-    return pack_f32_chunks_v2(bcode, res, e1, e2)
+    """All-device encode to v2-layout payloads: (C, L) u32 → ((C, B) u8, sizes).
+
+    Row-blocked as one unit (predict + pack per block; see `_row_block`)."""
+
+    def enc(v):
+        bcode, res = predict_f32_chunks(v, e1, e2)
+        return _pack_f32_chunks_v2_impl(
+            bcode, res, *_norm_exponents(e1, e2))
+
+    return _map_row_blocks(enc, values)
 
 
 # Device-adaptive candidate exponents for chunked containers: all small-table
@@ -634,8 +693,13 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
     smallest per chunk (first candidate wins ties, like the host optimizer),
     packs once, and stamps each chunk's hash_info byte. One device program —
     no 5x host encode (round-1 VERDICT weak #6). Every chunk remains a
-    standard self-describing FP substream.
+    standard self-describing FP substream. Row-blocked (`_row_block`).
     """
+    return _map_row_blocks(
+        lambda v: _encode_f32_chunks_v2_adaptive_impl(v, candidates), values)
+
+
+def _encode_f32_chunks_v2_adaptive_impl(values, candidates):
     C, L = values.shape
     G = L // 8
     norm = [_norm_exponents(e1, e2) for (e1, e2) in candidates]
@@ -653,7 +717,7 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
         sel = (choice == k)[:, None]
         bc = jnp.where(sel, bcs[k], bc)
         res = jnp.where(sel, ress[k], res)
-    payloads, total = pack_f32_chunks_v2(bc, res, *norm[0])
+    payloads, total = _pack_f32_chunks_v2_impl(bc, res, *norm[0])
     hash_bytes = jnp.asarray(
         np.array([((e1 >> 1) << 4) | (e2 >> 1) for (e1, e2) in norm], np.uint8)
     )
@@ -668,9 +732,15 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def decode_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
-    """All-device decode of v2-layout payloads: parallel parse + replay."""
-    bcodes, xors = parse_f32_chunks_v2(payloads, L, e1, e2)
-    return _replay_impl(bcodes, xors, e1, e2)
+    """All-device decode of v2-layout payloads: parallel parse + replay.
+
+    Row-blocked as one unit (parse + replay per block; see `_row_block`)."""
+
+    def dec(p):
+        bcodes, xors = _parse_f32_chunks_v2_impl(p, L, e1, e2)
+        return _replay_impl(bcodes, xors, e1, e2)
+
+    return _map_row_blocks(dec, payloads)
 
 
 def relayout_f32_v1_to_v2(payload: np.ndarray) -> np.ndarray:

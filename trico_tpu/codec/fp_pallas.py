@@ -4,9 +4,9 @@ Same math as the ``lax.scan`` path in fp_jax.py, but with the hash tables
 pinned in VMEM scratch for the whole block and the position loop as an
 in-kernel ``fori_loop`` — no per-step HBM carry traffic and no scan overhead.
 
-Layout: chunks ride the 128-wide lane axis; tables are (T, C_BLK) with the
+Layout: chunks ride the 128-wide lane axis; tables are (T, CB) with the
 table index on sublanes, so one-hot reads/writes are full-width VPU
-compare/selects. The grid walks chunk blocks of C_BLK lanes.
+compare/selects. The grid walks chunk blocks of _c_blk(L, T1, T2) lanes (VMEM-budgeted).
 
 Used automatically by fp_jax.encode when running on a real TPU backend (falls
 back to the XLA scan elsewhere; interpret mode keeps tests exact on CPU).
@@ -25,6 +25,22 @@ from jax.experimental.pallas import tpu as pltpu
 C_BLK = 512
 
 
+def _c_blk(L: int, T1: int, T2: int) -> int:
+    """Lane-block width that fits the scoped VMEM budget.
+
+    Per grid step the kernel holds 3 (L, C) u32 streams (double-buffered
+    across grid steps by the pipeline) plus the two (T, C) hash tables, so
+    the footprint is (2*3*L + T1 + T2) * C * 4 bytes against the ~16 MiB
+    scoped VMEM limit. 512 lanes fits L=1024 (the historical default); wider
+    chunks shrink the block in power-of-two steps, floored at one lane tile.
+    """
+    budget = 14 * 1024 * 1024
+    c = C_BLK
+    while c > 128 and (6 * L + T1 + T2) * c * 4 > budget:
+        c //= 2
+    return c
+
+
 def _onehot_reduce(table, iota, idx):
     """table[idx] per lane via compare/select + reduce.
 
@@ -40,20 +56,20 @@ def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
     return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
 
 
-def _predict_kernel(e1, e2, T1, T2, L, in_ref, xor1_ref, xor2_ref, t1_ref, t2_ref):
+def _predict_kernel(e1, e2, T1, T2, L, CB, in_ref, xor1_ref, xor2_ref, t1_ref, t2_ref):
     m2 = np.uint32((1 << e2) - 1)
-    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, C_BLK), 0)
-    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, C_BLK), 0)
-    t1_ref[:] = jnp.zeros((T1, C_BLK), jnp.uint32)
-    t2_ref[:] = jnp.zeros((T2, C_BLK), jnp.uint32)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+    t1_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+    t2_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
 
-    z = jnp.zeros((1, C_BLK), jnp.uint32)
+    z = jnp.zeros((1, CB), jnp.uint32)
 
     def body(i, carry):
         h1, h2, pred1, pred2, last = carry
-        v = in_ref[i, :].reshape(1, C_BLK)
-        xor1_ref[i, :] = (v ^ pred1).reshape(C_BLK)
-        xor2_ref[i, :] = (v ^ (last + pred2)).reshape(C_BLK)
+        v = in_ref[i, :].reshape(1, CB)
+        xor1_ref[i, :] = (v ^ pred1).reshape(CB)
+        xor2_ref[i, :] = (v ^ (last + pred2)).reshape(CB)
         t1_ref[:] = jnp.where(iota1 == h1, v, t1_ref[:])
         h1n = (v >> (32 - e1)) if e1 else h1
         pred1 = _onehot_reduce(t1_ref[:], iota1, h1n)
@@ -66,22 +82,22 @@ def _predict_kernel(e1, e2, T1, T2, L, in_ref, xor1_ref, xor2_ref, t1_ref, t2_re
     jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
 
 
-def _replay_kernel(e1, e2, T1, T2, L, fcm_max, xor_ref, bc_ref, out_ref, t1_ref, t2_ref):
+def _replay_kernel(e1, e2, T1, T2, L, CB, fcm_max, xor_ref, bc_ref, out_ref, t1_ref, t2_ref):
     m2 = np.uint32((1 << e2) - 1)
-    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, C_BLK), 0)
-    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, C_BLK), 0)
-    t1_ref[:] = jnp.zeros((T1, C_BLK), jnp.uint32)
-    t2_ref[:] = jnp.zeros((T2, C_BLK), jnp.uint32)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+    t1_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+    t2_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
 
-    z = jnp.zeros((1, C_BLK), jnp.uint32)
+    z = jnp.zeros((1, CB), jnp.uint32)
 
     def body(i, carry):
         h1, h2, pred1, pred2, last = carry
-        xor = xor_ref[i, :].reshape(1, C_BLK)
-        bc = bc_ref[i, :].reshape(1, C_BLK)
+        xor = xor_ref[i, :].reshape(1, CB)
+        bc = bc_ref[i, :].reshape(1, CB)
         pred = jnp.where(bc > fcm_max, last + pred2, pred1)
         v = xor ^ pred
-        out_ref[i, :] = v.reshape(C_BLK)
+        out_ref[i, :] = v.reshape(CB)
         t1_ref[:] = jnp.where(iota1 == h1, v, t1_ref[:])
         h1n = (v >> (32 - e1)) if e1 else h1
         pred1 = _onehot_reduce(t1_ref[:], iota1, h1n)
@@ -94,10 +110,10 @@ def _replay_kernel(e1, e2, T1, T2, L, fcm_max, xor_ref, bc_ref, out_ref, t1_ref,
     jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
 
 
-def _pad_lanes(values_T: jax.Array):
-    """(L, C) → (L, Cp) with Cp a multiple of C_BLK."""
+def _pad_lanes(values_T: jax.Array, CB: int = C_BLK):
+    """(L, C) → (L, Cp) with Cp a multiple of the lane block."""
     L, C = values_T.shape
-    Cp = ((C + C_BLK - 1) // C_BLK) * C_BLK
+    Cp = ((C + CB - 1) // CB) * CB
     if Cp != C:
         values_T = jnp.pad(values_T, ((0, 0), (0, Cp - C)))
     return values_T, Cp
@@ -109,24 +125,25 @@ def predict_xors_pallas(values: jax.Array, e1: int, e2: int, interpret: bool = F
     e1, e2 = _norm_exponents(e1, e2)
     C, L = values.shape
     T1, T2 = 1 << e1, 1 << e2
-    vT, Cp = _pad_lanes(values.T)
-    grid = (Cp // C_BLK,)
-    kern = functools.partial(_predict_kernel, e1, e2, T1, T2, L)
+    CB = _c_blk(L, T1, T2)
+    vT, Cp = _pad_lanes(values.T, CB)
+    grid = (Cp // CB,)
+    kern = functools.partial(_predict_kernel, e1, e2, T1, T2, L, CB)
     xor1T, xor2T = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
             jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T1, C_BLK), jnp.uint32),
-            pltpu.VMEM((T2, C_BLK), jnp.uint32),
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
         ],
         interpret=interpret,
     )(vT)
@@ -140,21 +157,22 @@ def replay_pallas(bcodes: jax.Array, xors: jax.Array, e1: int, e2: int,
     e1, e2 = _norm_exponents(e1, e2)
     C, L = xors.shape
     T1, T2 = 1 << e1, 1 << e2
-    xT, Cp = _pad_lanes(xors.T)
-    bT, _ = _pad_lanes(bcodes.astype(jnp.uint32).T)
-    kern = functools.partial(_replay_kernel, e1, e2, T1, T2, L, 4)
+    CB = _c_blk(L, T1, T2)
+    xT, Cp = _pad_lanes(xors.T, CB)
+    bT, _ = _pad_lanes(bcodes.astype(jnp.uint32).T, CB)
+    kern = functools.partial(_replay_kernel, e1, e2, T1, T2, L, CB, 4)
     outT = pl.pallas_call(
         kern,
-        grid=(Cp // C_BLK,),
+        grid=(Cp // CB,),
         in_specs=[
-            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, C_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, Cp), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((T1, C_BLK), jnp.uint32),
-            pltpu.VMEM((T2, C_BLK), jnp.uint32),
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
         ],
         interpret=interpret,
     )(xT, bT)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec import fp_jax
+from ..codec import fp64_jax, fp_jax
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "chunks") -> Mesh:
@@ -144,6 +144,33 @@ def _shardmap_encode_f32(values, e1, e2, mesh):
     )(values)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
+def _shardmap_encode_f64(hi, lo, e1, e2, mesh):
+    """shard_map f64 encode: (p, Cp, L) hi/lo uint32 words, chunks sharded.
+
+    Same collective shape as :func:`_shardmap_encode_f32` (reference f64
+    codec: floating_point_stream_compression.c:576-1164; doubles are carried
+    as (hi, lo) word pairs — TPUs have no native 64-bit integer path)."""
+
+    def local(h, l):
+        enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2(hh, ll, e1, e2)
+        payloads, sizes = jax.vmap(enc)(h, l)
+        all_sizes = jax.lax.all_gather(sizes, "chunks", axis=1, tiled=True)
+        flat = all_sizes.reshape(-1).astype(jnp.int32)
+        offs = (jnp.cumsum(flat) - flat).reshape(all_sizes.shape)
+        C_loc = sizes.shape[1]
+        idx = jax.lax.axis_index("chunks")
+        offs_local = jax.lax.dynamic_slice_in_dim(offs, idx * C_loc, C_loc, axis=1)
+        return payloads, sizes, offs_local
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "chunks", None), P(None, "chunks", None)),
+        out_specs=(P(None, "chunks", None), P(None, "chunks"), P(None, "chunks")),
+    )(hi, lo)
+
+
 def _gather_to_host(x) -> np.ndarray:
     """Fetch a (possibly multi-host sharded) array fully to this host.
 
@@ -156,50 +183,34 @@ def _gather_to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
-                  mesh: Mesh | None = None, optimize: bool = True) -> bytes:
-    """Distributed encode of a mesh into a complete v1 ``.trc`` archive.
+def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
+                          optimize: bool) -> list[bytes]:
+    """Sharded-encode (p, N) uint32 planes → one chunked v1 container per plane.
 
-    vertices (n, 3) float32 are split into x/y/z planes (the vmapped plane
-    axis), each plane into ``chunk_len``-value chunks sharded over ``mesh``
-    (the DP axis); the collective size-exscan fixes every payload's archive
-    offset, and the host concatenates the gathered bytes in chunk order —
-    bit-identical output to ``ArchiveWriter(chunk_len=..., layout='tpu')``
-    regardless of device count. triangles (m, 3) uint32 go through the
-    chunked-LZ4 byte-plane path (independent blocks, threaded host emit).
-
-    Returns archive bytes decodable by :class:`trico_tpu.archive.ArchiveReader`.
-    """
+    Full chunks go through the shard_map encode (all-gather size exscan fixes
+    the deterministic layout); the final partial chunk is host-coded. Output
+    bytes are identical to ``chunked.encode_chunked(..., layout="tpu")``
+    regardless of device count."""
     from .. import chunked as _chunked
-    from ..archive import F32_EXP, MAGIC, StreamType
-    from ..codec import transpose
+    from ..archive import F32_EXP
 
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-    verts = np.ascontiguousarray(vertices, np.float32)
-    raw = verts.view(np.uint32).reshape(-1, 3)
-    count = raw.shape[0]
     e1, e2 = F32_EXP  # matches ArchiveWriter(chunk_len=...) for bit-identity
-    chunk_len = (chunk_len // 8) * 8 or 8
-    planes = np.stack(transpose.aos_to_soa(raw, 3))  # (3, N)
-    N = planes.shape[1]
+    n_dev = mesh.devices.size
+    p, N = planes.shape
     C = N // chunk_len
-
-    parts: list[bytes] = [struct.pack("<II", MAGIC, 1)]
-    parts.append(struct.pack("<BI", int(StreamType.vertex_float), count))
     payloads = sizes = None
     if C:
         Cp = max(((C + n_dev - 1) // n_dev) * n_dev, n_dev)
-        vals = np.zeros((3, Cp, chunk_len), np.uint32)
-        vals[:, :C] = planes[:, : C * chunk_len].reshape(3, C, chunk_len)
+        vals = np.zeros((p, Cp, chunk_len), np.uint32)
+        vals[:, :C] = planes[:, : C * chunk_len].reshape(p, C, chunk_len)
         dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
             jnp.asarray(vals), None if optimize else e1,
             None if optimize else e2, mesh=mesh
         )
         payloads = _gather_to_host(dev_payloads)
         sizes = _gather_to_host(dev_sizes)
-    for i in range(3):
+    out = []
+    for i in range(p):
         chunks = [payloads[i, c, : sizes[i, c]].tobytes() for c in range(C)] \
             if C else []
         tail = planes[i, C * chunk_len :]
@@ -209,19 +220,176 @@ def compress_mesh(vertices, triangles=None, chunk_len: int = 4096,
                 if optimize else _chunked._host_fp_encode(tail, e1, e2))
         head = struct.pack("<BBIII", 1, 4, chunk_len, N, len(chunks))
         sizes_blob = struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks])
-        container = head + sizes_blob + b"".join(chunks)
-        parts.append(struct.pack("<I", len(container)))
-        parts.append(container)
+        out.append(head + sizes_blob + b"".join(chunks))
+    return out
 
-    if triangles is not None:
-        tris = np.ascontiguousarray(triangles, np.uint32)
-        parts.append(struct.pack("<BI", int(StreamType.triangle_uint32),
-                                 tris.size // 3))
-        for plane in transpose.byte_planes(tris):
+
+def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
+                          mesh: Mesh) -> list[bytes]:
+    """Sharded-encode (p, N) uint64 planes → one chunked v1 f64 container each.
+
+    Bit-identical to ``chunked.encode_chunked(plane, layout="tpu")`` for any
+    device count (flags: bit 0 = f64, bit 2 = tpu layout)."""
+    from .. import chunked as _chunked
+    from ..archive import F64_EXP
+
+    e1, e2 = F64_EXP
+    chunk_len = (chunk_len // 2) * 2 or 2
+    n_dev = mesh.devices.size
+    p, N = planes.shape
+    C = N // chunk_len
+    payloads = sizes = None
+    if C:
+        Cp = max(((C + n_dev - 1) // n_dev) * n_dev, n_dev)
+        hi = np.zeros((p, Cp, chunk_len), np.uint32)
+        lo = np.zeros((p, Cp, chunk_len), np.uint32)
+        full = planes[:, : C * chunk_len].reshape(p, C, chunk_len)
+        hi[:, :C] = (full >> np.uint64(32)).astype(np.uint32)
+        lo[:, :C] = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
+            jnp.asarray(hi), jnp.asarray(lo), e1, e2, mesh=mesh)
+        payloads = _gather_to_host(dev_payloads)
+        sizes = _gather_to_host(dev_sizes)
+    out = []
+    for i in range(p):
+        chunks = [payloads[i, c, : sizes[i, c]].tobytes() for c in range(C)] \
+            if C else []
+        tail = planes[i, C * chunk_len :]
+        if len(tail):
+            chunks.append(_chunked._host_fp_encode(tail, e1, e2))
+        head = struct.pack("<BBIII", 1, 1 | 4, chunk_len, N, len(chunks))
+        sizes_blob = struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks])
+        out.append(head + sizes_blob + b"".join(chunks))
+    return out
+
+
+def compress_mesh(vertices, triangles=None, *, vertex_normals=None,
+                  vertex_colors=None, uv_per_vertex=None,
+                  chunk_len: int = 4096, mesh: Mesh | None = None,
+                  optimize: bool = True) -> bytes:
+    """Distributed encode of a full mesh into a complete v1 ``.trc`` archive.
+
+    Float vec3/vec2 attributes (vertices — float32 or float64 —, vertex
+    normals, per-vertex uvs) are split into coordinate planes (the vmapped
+    plane axis), each plane into ``chunk_len``-value chunks sharded over
+    ``mesh`` (the DP axis); the collective size-exscan fixes every payload's
+    archive offset, and the host concatenates the gathered bytes in chunk
+    order — bit-identical output to ``ArchiveWriter(chunk_len=...,
+    layout='tpu')`` regardless of device count. Integer streams (triangles
+    (m, 3) uint32, vertex colors uint32 rgba) go through the chunked-LZ4
+    byte-plane path (independent blocks, threaded host emit). Stream order
+    matches the reference encoder tool (trico_encoder/main.c:253-303).
+
+    Returns archive bytes decodable by :class:`trico_tpu.archive.ArchiveReader`
+    (and by :func:`decompress_mesh` for the sharded decode).
+    """
+    from .. import chunked as _chunked
+    from ..archive import MAGIC, StreamType
+    from ..codec import transpose
+
+    if mesh is None:
+        mesh = make_mesh()
+    chunk_len = (chunk_len // 8) * 8 or 8
+    parts: list[bytes] = [struct.pack("<II", MAGIC, 1)]
+
+    def add_fp_stream(st: StreamType, arr, width: int):
+        if arr.dtype == np.float64:
+            raw = np.ascontiguousarray(arr, np.float64).view(np.uint64)
+            planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
+            containers = _f64_plane_containers(planes, chunk_len, mesh)
+        else:
+            raw = np.ascontiguousarray(arr, np.float32).view(np.uint32)
+            planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
+            containers = _f32_plane_containers(planes, chunk_len, mesh, optimize)
+        parts.append(struct.pack("<BI", int(st), raw.size // width))
+        for c in containers:
+            parts.append(struct.pack("<I", len(c)))
+            parts.append(c)
+
+    def add_lz4_stream(st: StreamType, arr, count: int):
+        parts.append(struct.pack("<BI", int(st), count))
+        for plane in transpose.byte_planes(arr):
             payload = _chunked.encode_lz4_chunked(plane)
             parts.append(struct.pack("<I", len(payload)))
             parts.append(payload)
+
+    verts = np.asarray(vertices)
+    vst = (StreamType.vertex_double if verts.dtype == np.float64
+           else StreamType.vertex_float)
+    add_fp_stream(vst, verts, 3)
+    if triangles is not None:
+        tris = np.ascontiguousarray(triangles, np.uint32)
+        add_lz4_stream(StreamType.triangle_uint32, tris, tris.size // 3)
+    if vertex_normals is not None:
+        add_fp_stream(StreamType.vertex_normal_float,
+                      np.asarray(vertex_normals, np.float32), 3)
+    if vertex_colors is not None:
+        colors = np.ascontiguousarray(vertex_colors, np.uint32)
+        add_lz4_stream(StreamType.vertex_color, colors, colors.size)
+    if uv_per_vertex is not None:
+        add_fp_stream(StreamType.uv_per_vertex_float,
+                      np.asarray(uv_per_vertex, np.float32), 2)
     return b"".join(parts)
+
+
+def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
+    """Distributed decode of a v1 archive produced by :func:`compress_mesh`.
+
+    Walks the self-describing framing on the host, routes every chunked f32
+    tpu-layout container through :func:`decode_vertices_sharded` (data-
+    parallel, collective-free) and everything else through the host/devices
+    codec, and reassembles interleaved arrays. Returns a dict keyed by
+    stream name (``vertices``, ``triangles``, ``vertex_normals``,
+    ``vertex_colors``, ``uv_per_vertex``, ...).
+    """
+    from ..archive import _FP_STREAMS, _LZ4_STREAMS, ArchiveReader, StreamType
+    from ..codec import transpose
+
+    if mesh is None:
+        mesh = make_mesh()
+    r = ArchiveReader(blob)
+    names = {
+        StreamType.vertex_float: "vertices",
+        StreamType.vertex_double: "vertices",
+        StreamType.triangle_uint32: "triangles",
+        StreamType.triangle_uint64: "triangles",
+        StreamType.vertex_normal_float: "vertex_normals",
+        StreamType.vertex_normal_double: "vertex_normals",
+        StreamType.triangle_normal_float: "triangle_normals",
+        StreamType.triangle_normal_double: "triangle_normals",
+        StreamType.vertex_color: "vertex_colors",
+        StreamType.triangle_color: "triangle_colors",
+        StreamType.uv_per_vertex_float: "uv_per_vertex",
+        StreamType.uv_per_vertex_double: "uv_per_vertex",
+        StreamType.uv_per_triangle_float: "uv_per_triangle",
+        StreamType.uv_per_triangle_double: "uv_per_triangle",
+    }
+    out: dict = {}
+    while r.next_stream_type != StreamType.empty:
+        st = r.next_stream_type
+        if st in _FP_STREAMS and _FP_STREAMS[st][1] == 32:
+            width = _FP_STREAMS[st][0]
+            count = r._read_u32()
+            planes = []
+            for _ in range(width):
+                payload = bytes(r._read_sub())
+                if len(payload) >= 2 and payload[0] == 1 and (payload[1] & 7) == 4:
+                    planes.append(decode_vertices_sharded(payload, mesh))
+                else:
+                    from .. import chunked as _chunked
+
+                    planes.append(_chunked.decode_chunked(payload)[0])
+            for p in planes:
+                if len(p) != count:
+                    raise ValueError("substream count mismatch")
+            arr = transpose.soa_to_aos(planes).view(np.float32).reshape(-1, width) \
+                if width > 1 else planes[0].view(np.float32)
+            r._advance_stream_type()
+            out[names.get(st, st.name)] = arr
+        else:
+            st, arr = r.read_stream()
+            out[names.get(st, st.name)] = arr
+    return out
 
 
 def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
@@ -237,7 +405,7 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
     n_dev = mesh.devices.size
     data = bytes(container)
     ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or (flags & 2) or not (flags & 4):
+    if ver != 1 or (flags & 3) or not (flags & 4):
         raise ValueError("expected a v1 f32 tpu-layout chunked container")
     sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
     off = 14 + 4 * n_chunks
