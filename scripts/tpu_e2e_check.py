@@ -21,7 +21,8 @@ import numpy as np
 from trico_tpu.codec import fp_jax
 
 print(f"backend={jax.default_backend()} "
-      f"row_block={fp_jax._row_block()}", flush=True)
+      f"row_block(1024)={fp_jax._row_block(1024)} "
+      f"row_block(4096)={fp_jax._row_block(4096)}", flush=True)
 _ = int(jnp.zeros((1,), jnp.int32)[0])
 
 NMAX = 8 * 1024 * 1024

@@ -299,7 +299,7 @@ def pack_f64_chunks_v2(bcode: jax.Array, rhi: jax.Array, rlo: jax.Array,
     ((C, B) u8 payloads, (C,) sizes). Row-blocked (fp_jax._row_block)."""
     return _map_row_blocks(
         lambda b, h, l: _pack_f64_chunks_v2_impl(b, h, l, e1, e2),
-        bcode, rhi, rlo)
+        2 * bcode.shape[1], bcode, rhi, rlo)
 
 
 def _pack_f64_chunks_v2_impl(bcode, rhi, rlo, e1, e2):
@@ -345,7 +345,7 @@ def parse_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20)
     """Device parse of f64 v2 payloads → (bcodes (C,L) u8, xor hi/lo (C,L) u32).
     Row-blocked (fp_jax._row_block)."""
     return _map_row_blocks(
-        lambda p: _parse_f64_chunks_v2_impl(p, L, e1, e2), payloads)
+        lambda p: _parse_f64_chunks_v2_impl(p, L, e1, e2), 2 * L, payloads)
 
 
 def _parse_f64_chunks_v2_impl(payloads, L, e1, e2):
@@ -398,7 +398,7 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
         return _pack_f64_chunks_v2_impl(
             bcode, rh, rl, *_norm_exponents(e1, e2))
 
-    return _map_row_blocks(enc, hi, lo)
+    return _map_row_blocks(enc, 2 * hi.shape[1], hi, lo)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -410,7 +410,7 @@ def decode_f64_chunks_v2(payloads: jax.Array, L: int, e1: int = 20, e2: int = 20
         bcodes, xhi, xlo = _parse_f64_chunks_v2_impl(p, L, e1, e2)
         return replay_f64_chunks(bcodes, xhi, xlo, e1, e2)
 
-    return _map_row_blocks(dec, payloads)
+    return _map_row_blocks(dec, 2 * L, payloads)
 
 
 def relayout_f64_v1_to_v2(payload: np.ndarray) -> np.ndarray:

@@ -46,27 +46,38 @@ def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
     return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
 
 
-def _row_block() -> int:
+def _row_block(L: int) -> int:
     """Max chunk rows any v2 device program instance sees at once.
 
-    XLA:TPU miscompiles the fused v2 parse at large row counts (verified on
-    v5e: parse_f32_chunks_v2 drops residual bytes at C=8192/L=1024 while
-    C<=2048 is bit-exact, CPU is exact at every size, and optimization
-    barriers do NOT fix it — scripts/tpu_split_probe.py). Running the same
+    XLA:TPU miscompiles the fused v2 parse at large array sizes (verified on
+    v5e: parse_f32_chunks_v2 drops residual bytes once the (C, 4L) slot
+    arrays reach ~32M entries — C=8192/L=1024 and C=2048/L=4096 both break,
+    while <=16M entries is bit-exact at both chunk lengths, CPU is exact at
+    every size, and optimization barriers do NOT fix it —
+    scripts/tpu_split_probe.py, scripts/tpu_l4096_scan.py). Running the same
     program per row block under ``lax.map`` is bit-exact, so every v2 entry
-    point is row-blocked to this bound. Also caps peak HBM per program.
+    point is row-blocked to a value-count budget (default 2^21 values ⇒ 8M
+    slot entries, a 4x safety margin). Also caps peak HBM per program.
+
+    ``TRICO_TPU_V2_ROW_BLOCK`` overrides the row count directly (tests);
+    ``TRICO_TPU_V2_BLOCK_VALUES`` overrides the value budget.
     """
-    return int(_os.environ.get("TRICO_TPU_V2_ROW_BLOCK", "2048"))
+    v = _os.environ.get("TRICO_TPU_V2_ROW_BLOCK")
+    if v is not None:
+        return int(v)
+    budget = int(_os.environ.get("TRICO_TPU_V2_BLOCK_VALUES", str(1 << 21)))
+    return max(1, budget // max(L, 1))
 
 
-def _map_row_blocks(impl, *arrs):
+def _map_row_blocks(impl, L, *arrs):
     """Apply ``impl(*row_slices)`` over row blocks of the leading axis.
 
-    ``impl`` must be row-independent. Arrays are padded with zeros up to a
-    multiple of the block (zero rows parse/pack to valid all-zero chunks and
-    are sliced off).
+    ``impl`` must be row-independent. ``L`` is the per-row value count (use
+    2*L for f64 paths — their slot arrays are twice as wide). Arrays are
+    padded with zeros up to a multiple of the block (zero rows parse/pack to
+    valid all-zero chunks and are sliced off).
     """
-    B = _row_block()
+    B = _row_block(L)
     C = arrs[0].shape[0]
     if C <= B:
         return impl(*arrs)
@@ -561,7 +572,8 @@ def pack_f32_chunks_v2(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 
 
     Row-blocked (`_row_block`) to dodge the XLA:TPU large-batch miscompile."""
     return _map_row_blocks(
-        lambda b, q: _pack_f32_chunks_v2_impl(b, q, e1, e2), bcode, res)
+        lambda b, q: _pack_f32_chunks_v2_impl(b, q, e1, e2),
+        bcode.shape[1], bcode, res)
 
 
 def _pack_f32_chunks_v2_impl(bcode, res, e1, e2):
@@ -621,7 +633,7 @@ def parse_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10):
     C=8192/L=1024 (drops residual bytes; see `_row_block`).
     """
     return _map_row_blocks(
-        lambda p: _parse_f32_chunks_v2_impl(p, L, e1, e2), payloads)
+        lambda p: _parse_f32_chunks_v2_impl(p, L, e1, e2), L, payloads)
 
 
 def _parse_f32_chunks_v2_impl(payloads, L, e1, e2):
@@ -674,7 +686,7 @@ def encode_f32_chunks_v2(values: jax.Array, e1: int = 4, e2: int = 10):
         return _pack_f32_chunks_v2_impl(
             bcode, res, *_norm_exponents(e1, e2))
 
-    return _map_row_blocks(enc, values)
+    return _map_row_blocks(enc, values.shape[1], values)
 
 
 # Device-adaptive candidate exponents for chunked containers: all small-table
@@ -696,7 +708,8 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
     standard self-describing FP substream. Row-blocked (`_row_block`).
     """
     return _map_row_blocks(
-        lambda v: _encode_f32_chunks_v2_adaptive_impl(v, candidates), values)
+        lambda v: _encode_f32_chunks_v2_adaptive_impl(v, candidates),
+        values.shape[1], values)
 
 
 def _encode_f32_chunks_v2_adaptive_impl(values, candidates):
@@ -740,7 +753,7 @@ def decode_f32_chunks_v2(payloads: jax.Array, L: int, e1: int = 4, e2: int = 10)
         bcodes, xors = _parse_f32_chunks_v2_impl(p, L, e1, e2)
         return _replay_impl(bcodes, xors, e1, e2)
 
-    return _map_row_blocks(dec, payloads)
+    return _map_row_blocks(dec, L, payloads)
 
 
 def relayout_f32_v1_to_v2(payload: np.ndarray) -> np.ndarray:
