@@ -86,3 +86,35 @@ def test_pallas_wide_block_edge():
     bc_s, res_s = fp_jax._predict_scan(jnp.asarray(chunks), e1, e2)
     np.testing.assert_array_equal(np.asarray(bc_p), np.asarray(bc_s))
     np.testing.assert_array_equal(np.asarray(res_p), np.asarray(res_s))
+
+
+@pytest.mark.parametrize("direction", ["left", "right"])
+@pytest.mark.parametrize("S", [128, 512, 4096])
+def test_logshift_pallas_interpret_matches_xla(direction, S):
+    """The VMEM log-shift kernel is bit-identical to the XLA formulation on
+    random monotone movements (the pack/parse compaction workhorse)."""
+    import jax.numpy as jnp
+
+    from trico_tpu.codec import fp_jax, fp_pallas
+
+    rng = np.random.default_rng(S)
+    C, pb = 5, 8
+    # build a random monotone partial permutation: choose live slots and
+    # target ranks, both increasing
+    words = np.zeros((C, S), np.uint32)
+    for c in range(C):
+        n_live = rng.integers(1, S)
+        src = np.sort(rng.choice(S, n_live, replace=False))
+        dst = np.sort(rng.choice(S, n_live, replace=False))
+        if direction == "left":
+            keep = dst <= src
+        else:
+            keep = dst >= src
+        src, dst = src[keep], dst[keep]
+        shift = np.abs(src - dst).astype(np.uint32)
+        payload = rng.integers(1, 1 << pb, len(src), dtype=np.uint32)
+        words[c, src] = (shift << pb) | payload
+    w = jnp.asarray(words)
+    want = fp_jax._logshift_passes(w, pb, S, direction) & jnp.uint32((1 << pb) - 1)
+    got = fp_pallas.logshift_pallas(w, pb, direction, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

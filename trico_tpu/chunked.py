@@ -210,6 +210,10 @@ def encode_lz4_chunked(plane: np.ndarray, block_len: int = DEFAULT_LZ4_BLOCK,
         from .codec import lz4_jax
 
         payloads = lz4_jax.compress_plane(plane, block=block_len)
+    elif native.available() and n > 0:
+        # independent blocks compress across hardware threads (the encode
+        # mirror of tt_lz4_decompress_blocks)
+        payloads = native.lz4_compress_blocks(plane, block_len)
     else:
         comp = native.lz4_compress if native.available() else (
             lambda d: __import__("trico_tpu.codec.lz4_ref", fromlist=["compress"]).compress(bytes(d))

@@ -127,15 +127,17 @@ def _use_pallas() -> bool:
 
 
 def _predict_mode() -> str:
-    """Encode predictor backend: 'sort' (closed-form, scan-free — the fast
-    encode path on every backend), 'pallas' (VMEM one-hot scan kernel, TPU),
-    or 'scan' (XLA lane scan). Override with TRICO_TPU_PREDICT."""
+    """Encode predictor backend: 'pallas' (VMEM one-hot scan kernel — the
+    fast path on real TPUs: 5.7 GB/s vs 1.0 for sort at e2=8, bit-identical,
+    scripts/tpu_predict_modes.py), 'sort' (closed-form, scan-free — the fast
+    path on CPU; cost independent of the hash exponents), or 'scan' (XLA
+    lane scan). Override with TRICO_TPU_PREDICT."""
     import os
 
     v = os.environ.get("TRICO_TPU_PREDICT")
     if v in ("sort", "pallas", "scan"):
         return v
-    return "sort"
+    return "pallas" if _use_pallas() else "sort"
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -152,14 +154,14 @@ def predict_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = values.shape
     mode = _predict_mode()
-    if mode == "sort" and e1 + max(L - 1, 1).bit_length() <= 32 \
-            and e2 + max(L - 1, 1).bit_length() <= 32:
-        return _bcode_res_from_xors(*_predict_sort(values, e1, e2))
     if mode == "pallas" and _use_pallas():
         from . import fp_pallas
 
         xor1, xor2 = fp_pallas.predict_xors_pallas(values, e1, e2, False)
         return _bcode_res_from_xors(xor1, xor2)
+    if mode in ("sort", "pallas") and e1 + max(L - 1, 1).bit_length() <= 32 \
+            and e2 + max(L - 1, 1).bit_length() <= 32:
+        return _bcode_res_from_xors(*_predict_sort(values, e1, e2))
     return _predict_scan(values, e1, e2)
 
 
@@ -550,12 +552,22 @@ def _logshift_passes(word, pb, S, direction):
     return word
 
 
+def _logshift(word, pb, S, direction):
+    """Dispatch the log-shift network: VMEM Pallas kernel on real TPUs (one
+    HBM round-trip), XLA shifted-select passes elsewhere. Bit-identical."""
+    if _use_pallas():
+        from . import fp_pallas
+
+        return fp_pallas.logshift_pallas(word, pb, direction)
+    return _logshift_passes(word, pb, S, direction) & jnp.uint32((1 << pb) - 1)
+
+
 def _compact_monotone(payload, shift, valid, pb):
     """Move live element at position p left by shift[p] (monotone); (C, S)."""
     S = payload.shape[1]
     assert pb + max(S - 1, 1).bit_length() <= 32, "log-shift word overflow"
     word = jnp.where(valid, (shift.astype(jnp.uint32) << pb) | payload, 0)
-    return _logshift_passes(word, pb, S, "left") & jnp.uint32((1 << pb) - 1)
+    return _logshift(word, pb, S, "left")
 
 
 def _expand_monotone(payload, shift, valid, pb):
@@ -563,7 +575,7 @@ def _expand_monotone(payload, shift, valid, pb):
     S = payload.shape[1]
     assert pb + max(S - 1, 1).bit_length() <= 32, "log-shift word overflow"
     word = jnp.where(valid, (shift.astype(jnp.uint32) << pb) | payload, 0)
-    return _logshift_passes(word, pb, S, "right") & jnp.uint32((1 << pb) - 1)
+    return _logshift(word, pb, S, "right")
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -712,13 +724,23 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
         values.shape[1], values)
 
 
+def _predict_bcode_res(values, e1, e2):
+    """(bcode, res) via the backend-appropriate predictor (normalized e1/e2)."""
+    if _predict_mode() == "pallas" and _use_pallas():
+        from . import fp_pallas
+
+        return _bcode_res_from_xors(
+            *fp_pallas.predict_xors_pallas(values, e1, e2, False))
+    return _bcode_res_from_xors(*_predict_sort(values, e1, e2))
+
+
 def _encode_f32_chunks_v2_adaptive_impl(values, candidates):
     C, L = values.shape
     G = L // 8
     norm = [_norm_exponents(e1, e2) for (e1, e2) in candidates]
     bcs, ress, sizes = [], [], []
     for (e1, e2) in norm:
-        bc, res = _bcode_res_from_xors(*_predict_sort(values, e1, e2))
+        bc, res = _predict_bcode_res(values, e1, e2)
         bcs.append(bc)
         ress.append(res)
         sizes.append(5 + 3 * G + jnp.sum(_glen32(bc), axis=1))

@@ -110,6 +110,69 @@ def _replay_kernel(e1, e2, T1, T2, L, CB, fcm_max, xor_ref, bc_ref, out_ref, t1_
     jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
 
 
+# ---------------------------------------------------------------------------
+# monotone log-shift data movement in VMEM
+#
+# The XLA formulation (fp_jax._logshift_passes) materializes every pass in
+# HBM: ~2 * nbits array traversals (measured 5 GB/s for pack/parse at
+# L=4096). Here the whole network runs on a (R_SUB, S) VMEM tile per grid
+# step, so HBM sees each byte once in and once out. Semantics identical to
+# fp_jax._compact_monotone / _expand_monotone (same packed-word encoding).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_R_SUB = int(_os.environ.get("TRICO_TPU_LOGSHIFT_ROWS", "8"))  # rows per grid step
+
+
+def _logshift_kernel(S, pb, direction, interpret, word_ref, out_ref):
+    w = word_ref[:, :]
+    R = w.shape[0]
+    nbits = max(S - 1, 1).bit_length()
+    rng = range(nbits) if direction == "left" else reversed(range(nbits))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    roll = jnp.roll if interpret else pltpu.roll
+    for b in rng:
+        d = 1 << b
+        if direction == "left":
+            # shift left by d, zero-filling the top d lanes
+            cand = jnp.where(lane < S - d, roll(w, S - d, axis=1), 0)
+        else:
+            cand = jnp.where(lane >= d, roll(w, d, axis=1), 0)
+        bit = jnp.uint32(d << pb)
+        arrives = (cand & bit) != 0
+        departs = (w & bit) != 0
+        w = jnp.where(arrives, cand - bit, jnp.where(departs, 0, w))
+    out_ref[:, :] = w & jnp.uint32((1 << pb) - 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def logshift_pallas(word: jax.Array, pb: int, direction: str,
+                    interpret: bool = False):
+    """Run the monotone log-shift network over (C, S) packed words in VMEM.
+
+    ``word`` rows are independent; encoding is ``shift << pb | payload`` with
+    0 = dead slot, exactly as fp_jax._logshift_passes. Returns the payload
+    (masked to pb bits) after movement. One HBM read + one write total,
+    versus ~2*nbits traversals for the XLA formulation.
+    """
+    C, S = word.shape
+    R = _R_SUB
+    Cp = ((C + R - 1) // R) * R
+    if Cp != C:
+        word = jnp.pad(word, ((0, Cp - C), (0, 0)))
+    kern = functools.partial(_logshift_kernel, S, pb, direction, interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(Cp // R,),
+        in_specs=[pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cp, S), jnp.uint32),
+        interpret=interpret,
+    )(word)
+    return out[:C]
+
+
 def _pad_lanes(values_T: jax.Array, CB: int = C_BLK):
     """(L, C) → (L, Cp) with Cp a multiple of the lane block."""
     L, C = values_T.shape

@@ -77,6 +77,8 @@ def get_lib():
         lib.tt_lz4_decompress.argtypes = [p, i64, p, i64]
         lib.tt_lz4_decompress_blocks.restype = i64
         lib.tt_lz4_decompress_blocks.argtypes = [p, p, p, i64, p, p, p]
+        lib.tt_lz4_compress_blocks.restype = i64
+        lib.tt_lz4_compress_blocks.argtypes = [p, p, p, i64, p, i64, p]
         lib.tt_lz4_emit.restype = i64
         lib.tt_lz4_emit.argtypes = [p, i64, p, p, p, i64]
         lib.tt_fp32_pack_chunks.restype = i64
@@ -172,6 +174,27 @@ def lz4_compress(data) -> bytes:
     if sz < 0:
         raise RuntimeError("lz4 compress failed")
     return out[:sz].tobytes()
+
+
+def lz4_compress_blocks(plane: np.ndarray, block_len: int) -> list[bytes]:
+    """Compress ``plane`` as independent ``block_len``-byte LZ4 blocks in
+    parallel (hardware threads). Returns one bytes object per block."""
+    lib = get_lib()
+    plane = np.ascontiguousarray(plane, np.uint8).reshape(-1)
+    n = len(plane)
+    n_blocks = max((n + block_len - 1) // block_len, 1)
+    src_off = (np.arange(n_blocks, dtype=np.int64) * block_len)
+    src_sz = np.minimum(block_len, n - src_off)
+    cap = int(lib.tt_lz4_bound(min(block_len, n)))
+    dst = np.empty(n_blocks * cap, np.uint8)
+    out_sz = np.zeros(n_blocks, np.int64)
+    rc = lib.tt_lz4_compress_blocks(
+        _ptr(plane), _ptr(src_off), _ptr(src_sz), n_blocks,
+        _ptr(dst), cap, _ptr(out_sz),
+    )
+    if rc != 0:
+        raise RuntimeError(f"lz4 block compress failed at block {-rc - 1}")
+    return [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(n_blocks)]
 
 
 def lz4_decompress_blocks(data, src_offsets: np.ndarray, src_sizes: np.ndarray,

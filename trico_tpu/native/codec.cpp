@@ -777,6 +777,28 @@ EXPORT int64_t tt_lz4_decompress_blocks(const uint8_t* src, const int64_t* src_o
   return -err.load();
 }
 
+// Batch block compress across hardware threads: blocks are independent LZ4
+// streams (chunked container framing), so the encode side parallelizes just
+// like tt_lz4_decompress_blocks. Each block writes into its own cap-sized
+// slice of dst; out_sz[i] receives the compressed size (or the whole call
+// returns -(i+1) on failure).
+EXPORT int64_t tt_lz4_compress_blocks(const uint8_t* src, const int64_t* src_off,
+                                      const int64_t* src_sz, int64_t n_blocks,
+                                      uint8_t* dst, int64_t cap_per_block,
+                                      int64_t* out_sz) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t c) {
+    if (err.load(std::memory_order_relaxed)) return;
+    int64_t got = tt_lz4_compress(src + src_off[c], src_sz[c],
+                                  dst + c * cap_per_block, cap_per_block);
+    if (got < 0)
+      err.store(c + 1, std::memory_order_relaxed);
+    else
+      out_sz[c] = got;
+  });
+  return -err.load();
+}
+
 // ------------------------------------------------------- byte-plane shuffle
 
 EXPORT void tt_shuffle_bytes(const uint8_t* src, int64_t n_elems, int32_t width,
