@@ -122,7 +122,8 @@ def _replay_kernel(e1, e2, T1, T2, L, CB, fcm_max, xor_ref, bc_ref, out_ref, t1_
 
 import os as _os
 
-_R_SUB = int(_os.environ.get("TRICO_TPU_LOGSHIFT_ROWS", "8"))  # rows per grid step
+# rows per grid step: 16 measured best on v5e (5.6 GB/s parse vs 4.7 at 8)
+_R_SUB = int(_os.environ.get("TRICO_TPU_LOGSHIFT_ROWS", "16"))
 
 
 def _logshift_kernel(S, pb, direction, interpret, word_ref, out_ref):
