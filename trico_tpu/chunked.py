@@ -295,9 +295,9 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     out = np.empty(total, dtype=dt)
     if use_tpu is None:
         use_tpu = _tpu_available()
-    if bits == 64 and layout == "ref":
-        from . import native
+    from . import native
 
+    if bits == 64 and layout == "ref":
         # the f64 reference-layout device path parses on the host natively
         use_tpu = use_tpu and native.available()
     if n_full > 0 and (use_tpu or layout == "tpu"):
@@ -316,8 +316,6 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         if layout == "tpu" and not use_tpu:
             # host fallback: relayout chunks to reference order (batched native
             # when available), then host-decode
-            from . import native
-
             if native.available():
                 mat1 = native.relayout_chunks(mat, chunk_len, bits, to_v2=False)
                 for c in range(n_full):
@@ -337,10 +335,34 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
                 idx = np.nonzero(hash_infos == hi)[0]
                 e1 = (int(hi) >> 4) << 1
                 e2 = (int(hi) & 15) << 1
-                vals = dec(mat[idx], chunk_len, e1, e2, layout=layout)
-                vals = vals.reshape(len(idx), chunk_len)
+                # predictor replay needs (2^e1 + 2^e2)-row one-hot tables on
+                # device; past a VMEM-sane bound (the f64 default (20,20)
+                # would need 2^20 rows) the independent chunks decode on host
+                # threads at C speed instead (tt_fp*_decode_blocks)
+                if (1 << e1) + (1 << e2) > (1 << 13) and native.available():
+                    sub = mat[idx]
+                    if layout == "tpu":
+                        sub = native.relayout_chunks(sub, chunk_len, bits,
+                                                     to_v2=False)
+                    vals = native.fp_decode_blocks(
+                        sub.reshape(-1),
+                        np.arange(len(idx), dtype=np.int64) * B,
+                        np.asarray(sizes, np.int64)[idx],
+                        np.full(len(idx), chunk_len, np.int64), bits,
+                    ).reshape(len(idx), chunk_len)
+                else:
+                    vals = dec(mat[idx], chunk_len, e1, e2, layout=layout)
+                    vals = vals.reshape(len(idx), chunk_len)
                 for j, c in enumerate(idx):
                     out[c * chunk_len : (c + 1) * chunk_len] = vals[j]
+        start = n_full
+    elif n_full > 0 and native.available():
+        # pure-host decode: full chunks are independent -> hardware threads
+        b = np.frombuffer(data, np.uint8)
+        out[: n_full * chunk_len] = native.fp_decode_blocks(
+            b, offsets[:n_full], np.asarray(sizes, np.int64)[:n_full],
+            np.full(n_full, chunk_len, np.int64), bits,
+        )
         start = n_full
     else:
         start = 0

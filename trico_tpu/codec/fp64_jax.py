@@ -32,6 +32,7 @@ from .fp_jax import (
     _onehot_read,
     _onehot_write,
     _pad_rows,
+    _prev_occurrence_multi,
 )
 
 
@@ -56,10 +57,59 @@ def _add64(ahi, alo, bhi, blo):
     return ahi + bhi + carry, lo
 
 
+def _predict_sort64(hi, lo, e1, e2):
+    """Closed-form f64 FCM/DFCM xors via previous-occurrence sorts.
+
+    The f64 hash recurrences collapse exactly like f32 (fps.c:565-573 is the
+    same shape as fps.c:76-84): FCM's read key for position i is the top e1
+    bits of v[i-1] (hi word only — 64-e1 >= 34), DFCM's is
+    ``t[i-1] ^ ((t[i-2] << e2/2) & m2)`` with t = stride >> (64-e2). Cost is
+    independent of the table size, which makes the reference's (20,20)
+    defaults (2^20-entry tables — impossible as one-hot VMEM scans) run at
+    full device speed. Requires e + ceil(log2 L) <= 32.
+    """
+    C, L = hi.shape
+    m2 = np.uint32((1 << e2) - 1) if e2 else np.uint32(0)
+    hprev = jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), hi[:, :-1]], axis=1)
+    lprev = jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), lo[:, :-1]], axis=1)
+
+    # FCM: key_i = v[i-1] >> (64-e1) (hi word), payload (vh, vl)
+    k1 = (hprev >> (32 - e1)) if e1 else jnp.zeros_like(hi)
+    p1h, p1l = _prev_occurrence_multi(k1, (hi, lo), e1)
+    x1h, x1l = hi ^ p1h, lo ^ p1l
+
+    # DFCM: stride s_i = v_i - v_{i-1} (64-bit borrow); payload (sh, sl)
+    sh, sl = _sub64(hi, lo, hprev, lprev)
+    if e2:
+        t = sh >> (32 - e2)
+        t1 = jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), t[:, :-1]], axis=1)
+        t2s = jnp.concatenate([jnp.zeros((C, 2), jnp.uint32), t[:, :-2]], axis=1)
+        k2 = t1 ^ ((t2s << (e2 // 2)) & m2)
+    else:
+        k2 = jnp.zeros_like(hi)
+    p2h, p2l = _prev_occurrence_multi(k2, (sh, sl), e2)
+    d2h, d2l = _add64(hprev, lprev, p2h, p2l)
+    x2h, x2l = hi ^ d2h, lo ^ d2l
+    return x1h, x1l, x2h, x2l
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def predict_f64_chunks(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20):
-    """(C, L) uint32 hi/lo words → (bcode (C, L) uint8, res hi/lo (C, L))."""
+    """(C, L) uint32 hi/lo words → (bcode (C, L) uint8, res hi/lo (C, L)).
+
+    Uses the scan-free sort predictor whenever the sort keys fit (the norm —
+    it is the only practical backend for the reference's (20,20) table
+    exponents on device); falls back to the one-hot lane scan otherwise."""
     e1, e2 = _norm_exponents(e1, e2)
+    C, L = hi.shape
+    lbits = max(L - 1, 1).bit_length()
+    if e1 + lbits <= 32 and e2 + lbits <= 32:
+        x1h, x1l, x2h, x2l = _predict_sort64(hi, lo, e1, e2)
+        return _bcode_res_from_xors64(x1h, x1l, x2h, x2l)
+    return _predict_scan64(hi, lo, e1, e2)
+
+
+def _predict_scan64(hi, lo, e1, e2):
     C, L = hi.shape
     T1, T2 = 1 << e1, 1 << e2
     m2 = np.uint32((1 << e2) - 1)
@@ -103,23 +153,28 @@ def predict_f64_chunks(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20)
     )
     x1h, x1l, x2h, x2l = x1hT.T, x1lT.T, x2hT.T, x2lT.T
 
-    def nbytes(xh, xl, lo_bound):
-        # number of significant bytes of the 64-bit value (hi, lo)
-        nlo = jnp.where(
-            xl == 0, 0,
-            jnp.where(xl >> 8 == 0, 1,
-                      jnp.where(xl >> 16 == 0, 2, jnp.where(xl >> 24 == 0, 3, 4))),
-        )
-        nhi = jnp.where(
-            xh == 0, 0,
-            jnp.where(xh >> 8 == 0, 1,
-                      jnp.where(xh >> 16 == 0, 2, jnp.where(xh >> 24 == 0, 3, 4))),
-        )
-        n = jnp.where(xh == 0, nlo, 4 + nhi)
-        return jnp.maximum(n, lo_bound).astype(jnp.int32)
+    return _bcode_res_from_xors64(x1h, x1l, x2h, x2l)
 
-    nb1 = nbytes(x1h, x1l, 0)
-    nb2 = nbytes(x2h, x2l, 1)  # DFCM zero residual still stores one byte
+
+def _nbytes64(xh, xl, lo_bound):
+    # number of significant bytes of the 64-bit value (hi, lo)
+    nlo = jnp.where(
+        xl == 0, 0,
+        jnp.where(xl >> 8 == 0, 1,
+                  jnp.where(xl >> 16 == 0, 2, jnp.where(xl >> 24 == 0, 3, 4))),
+    )
+    nhi = jnp.where(
+        xh == 0, 0,
+        jnp.where(xh >> 8 == 0, 1,
+                  jnp.where(xh >> 16 == 0, 2, jnp.where(xh >> 24 == 0, 3, 4))),
+    )
+    n = jnp.where(xh == 0, nlo, 4 + nhi)
+    return jnp.maximum(n, lo_bound).astype(jnp.int32)
+
+
+def _bcode_res_from_xors64(x1h, x1l, x2h, x2l):
+    nb1 = _nbytes64(x1h, x1l, 0)
+    nb2 = _nbytes64(x2h, x2l, 1)  # DFCM zero residual still stores one byte
     use_dfcm = (nb1 >= 2) & (nb2 < nb1) & (nb2 <= 7)
     bcode = jnp.where(use_dfcm, 8 + nb2, nb1)
     rh = jnp.where(use_dfcm, x2h, x1h)

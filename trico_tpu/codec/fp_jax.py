@@ -214,30 +214,42 @@ def _predict_scan(values, e1, e2):
     return bcode.astype(jnp.uint8), res
 
 
-def _prev_occurrence(keys, payload, key_bits: int):
-    """payload at the previous occurrence of each key, along axis 1.
+def _prev_occurrence_multi(keys, payloads, key_bits: int):
+    """Each payload at the previous occurrence of each key, along axis 1.
 
-    out[c, i] = payload[c, j] for the largest j < i with keys[c, j] ==
+    out_k[c, i] = payloads[k][c, j] for the largest j < i with keys[c, j] ==
     keys[c, i], else 0 — exactly a hash-table read after sequential writes,
     but computed with two ``lax.sort`` passes instead of a scan: sort by
-    (key, pos), take the neighbor's payload where the key matches, sort back
+    (key, pos), take the neighbor's payloads where the key matches, sort back
     by pos. No sequential dependency, no gather, cost independent of the
-    table size (the win over the one-hot scan for large hash exponents).
-    Requires key_bits + ceil(log2 L) <= 32.
+    table size (the win over the one-hot scan for large hash exponents — the
+    f64 default (20,20) would need 2^20-row tables). Requires
+    key_bits + ceil(log2 L) <= 32.
     """
     C, L = keys.shape
     assert key_bits + max(L - 1, 1).bit_length() <= 32, "sort key overflow"
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.uint32)[None, :], (C, L))
     sk = keys * jnp.uint32(L) + pos  # unique; orders by (key, pos)
-    sk_s, pay_s, pos_s = jax.lax.sort((sk, payload, pos), num_keys=1)
+    sk_s, pos_s, *pay_s = jax.lax.sort((sk, pos) + tuple(payloads), num_keys=1)
     key_s = sk_s // jnp.uint32(L)
     same = jnp.concatenate(
         [jnp.zeros((C, 1), bool), key_s[:, 1:] == key_s[:, :-1]], axis=1
     )
-    prev_pay = jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), pay_s[:, :-1]], axis=1)
-    pred_s = jnp.where(same, prev_pay, 0)
-    _, pred = jax.lax.sort((pos_s, pred_s), num_keys=1)
-    return pred
+    pred_s = [
+        jnp.where(
+            same,
+            jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), p[:, :-1]], axis=1),
+            0,
+        )
+        for p in pay_s
+    ]
+    _, *preds = jax.lax.sort((pos_s,) + tuple(pred_s), num_keys=1)
+    return preds
+
+
+def _prev_occurrence(keys, payload, key_bits: int):
+    """Single-payload form of :func:`_prev_occurrence_multi`."""
+    return _prev_occurrence_multi(keys, (payload,), key_bits)[0]
 
 
 def _predict_sort(values, e1, e2):

@@ -79,6 +79,10 @@ def get_lib():
         lib.tt_lz4_decompress_blocks.argtypes = [p, p, p, i64, p, p, p]
         lib.tt_lz4_compress_blocks.restype = i64
         lib.tt_lz4_compress_blocks.argtypes = [p, p, p, i64, p, i64, p]
+        lib.tt_fp32_decode_blocks.restype = i64
+        lib.tt_fp32_decode_blocks.argtypes = [p, p, p, i64, p, p, p]
+        lib.tt_fp64_decode_blocks.restype = i64
+        lib.tt_fp64_decode_blocks.argtypes = [p, p, p, i64, p, p, p]
         lib.tt_lz4_emit.restype = i64
         lib.tt_lz4_emit.argtypes = [p, i64, p, p, p, i64]
         lib.tt_fp32_pack_chunks.restype = i64
@@ -195,6 +199,29 @@ def lz4_compress_blocks(plane: np.ndarray, block_len: int) -> list[bytes]:
     if rc != 0:
         raise RuntimeError(f"lz4 block compress failed at block {-rc - 1}")
     return [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(n_blocks)]
+
+
+def fp_decode_blocks(data, src_offsets: np.ndarray, src_sizes: np.ndarray,
+                     dst_counts: np.ndarray, bits: int) -> np.ndarray:
+    """Decode independent FP substream chunks in parallel (hardware threads).
+
+    ``data`` holds concatenated chunk payloads; chunk i spans
+    ``src_offsets[i] : src_offsets[i] + src_sizes[i]`` and decodes to exactly
+    ``dst_counts[i]`` values. Returns the concatenated raw-bits array."""
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data)
+    src_off = np.ascontiguousarray(src_offsets, np.int64)
+    src_sz = np.ascontiguousarray(src_sizes, np.int64)
+    dst_n = np.ascontiguousarray(dst_counts, np.int64)
+    dst_off = np.concatenate([[0], np.cumsum(dst_n)[:-1]]).astype(np.int64)
+    out = np.empty(int(dst_n.sum()), np.uint32 if bits == 32 else np.uint64)
+    fn = lib.tt_fp32_decode_blocks if bits == 32 else lib.tt_fp64_decode_blocks
+    rc = fn(_ptr(buf), _ptr(src_off), _ptr(src_sz), len(src_sz),
+            _ptr(out), _ptr(dst_off), _ptr(dst_n))
+    if rc != 0:
+        raise ValueError(f"corrupt FP chunk {-rc - 1}")
+    return out
 
 
 def lz4_decompress_blocks(data, src_offsets: np.ndarray, src_sizes: np.ndarray,

@@ -260,6 +260,44 @@ EXPORT int64_t tt_fp64_decode(const uint8_t* in, int64_t in_size, uint64_t* out,
   return fp_decode<uint64_t, 64>(in, in_size, out, cap_n, n_out);
 }
 
+// Batch FP substream decode across hardware threads: chunk payloads are
+// independent codec instances (fresh predictor tables per chunk), so decode
+// parallelizes across chunks at C speed. This is the host decode path for
+// table exponents too large for the device one-hot replay (e.g. the f64
+// default (20,20): 2^20-entry tables). Returns 0 or -(i+1) on corrupt chunk.
+template <typename T, int BITS>
+static int64_t fp_decode_blocks(const uint8_t* src, const int64_t* src_off,
+                                const int64_t* src_sz, int64_t n_blocks,
+                                T* dst, const int64_t* dst_off,
+                                const int64_t* dst_n) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t c) {
+    if (err.load(std::memory_order_relaxed)) return;
+    uint32_t n_out = 0;
+    int64_t rc = fp_decode<T, BITS>(src + src_off[c], src_sz[c],
+                                    dst + dst_off[c], uint32_t(dst_n[c]),
+                                    &n_out);
+    if (rc < 0 || int64_t(n_out) != dst_n[c])
+      err.store(c + 1, std::memory_order_relaxed);
+  });
+  return -err.load();
+}
+
+EXPORT int64_t tt_fp32_decode_blocks(const uint8_t* src, const int64_t* src_off,
+                                     const int64_t* src_sz, int64_t n_blocks,
+                                     uint32_t* dst, const int64_t* dst_off,
+                                     const int64_t* dst_n) {
+  return fp_decode_blocks<uint32_t, 32>(src, src_off, src_sz, n_blocks, dst,
+                                        dst_off, dst_n);
+}
+EXPORT int64_t tt_fp64_decode_blocks(const uint8_t* src, const int64_t* src_off,
+                                     const int64_t* src_sz, int64_t n_blocks,
+                                     uint64_t* dst, const int64_t* dst_off,
+                                     const int64_t* dst_n) {
+  return fp_decode_blocks<uint64_t, 64>(src, src_off, src_sz, n_blocks, dst,
+                                        dst_off, dst_n);
+}
+
 // ------------------------------------------------- chunked pack / parse
 //
 // The TPU path computes per-value (bcode, residual) on device (the predictor
