@@ -281,3 +281,26 @@ def test_v2_f64_row_blocking_roundtrip(monkeypatch):
     vh, vl = fp64_jax.decode_f64_chunks_v2(jnp.asarray(np.asarray(pay)), L, 20, 20)
     np.testing.assert_array_equal(np.asarray(vh), hi)
     np.testing.assert_array_equal(np.asarray(vl), lo)
+
+
+def test_pallas_tables_fit_gate():
+    """ADVICE r2 low: the Pallas one-hot predictor must not be attempted when
+    the hash tables exceed the VMEM budget (e.g. e2>=14 at L=4096) — those
+    exponents fall back to the sort predictor."""
+    from trico_tpu.codec.fp_jax import _pallas_tables_fit
+
+    assert _pallas_tables_fit(4096, 4, 10)   # production defaults fit
+    assert _pallas_tables_fit(1024, 4, 12)
+    assert not _pallas_tables_fit(4096, 16, 20)  # f64-class tables don't
+    assert not _pallas_tables_fit(4096, 4, 16)
+
+
+def test_large_exponent_encode_falls_back(monkeypatch):
+    """Encodes with large-table exponents must work even when the Pallas
+    predictor is forced on (gate falls back to the sort predictor)."""
+    monkeypatch.setenv("TRICO_TPU_PREDICT", "pallas")
+    vals = mesh_like_floats(2048).view(np.uint32).reshape(2, 1024)
+    bc, res = fp_jax.predict_f32_chunks(jnp.asarray(vals), 12, 18)
+    bc2, res2 = fp_jax.predict_f32_chunks_sort(jnp.asarray(vals), 12, 18)
+    np.testing.assert_array_equal(np.asarray(bc), np.asarray(bc2))
+    np.testing.assert_array_equal(np.asarray(res), np.asarray(res2))

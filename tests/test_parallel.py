@@ -220,6 +220,16 @@ def test_compress_mesh_f64_vertices():
 
 
 @needs8
+def test_compress_mesh_empty_stream():
+    """ADVICE r2 medium: a 0-element vertex stream produced an empty chunked
+    container that decode_vertices_sharded crashed on (n_full = -1)."""
+    mesh = mesh_codec.make_mesh(8)
+    blob = mesh_codec.compress_mesh(np.zeros((0, 3), np.float32), mesh=mesh)
+    out = mesh_codec.decompress_mesh(blob, mesh=mesh)
+    assert out["vertices"].shape == (0, 3)
+
+
+@needs8
 def test_compress_mesh_f64_device_count_invariance():
     n = 512
     verts64 = np.stack(

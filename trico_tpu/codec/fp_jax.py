@@ -126,6 +126,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _pallas_tables_fit(L: int, e1: int, e2: int) -> bool:
+    """True when the Pallas one-hot kernel's VMEM footprint fits at its
+    minimum 128-lane block: 3 double-buffered (L,) streams plus the two
+    (T, 128) hash tables (fp_pallas._c_blk budget). Large exponents (e.g.
+    e2>=14 at L=4096) fall back to the sort predictor, as the pre-Pallas
+    default ordering did (ADVICE r2 low)."""
+    budget = 14 * 1024 * 1024
+    return (6 * L + (1 << e1) + (1 << e2)) * 128 * 4 <= budget
+
+
 def _predict_mode() -> str:
     """Encode predictor backend: 'pallas' (VMEM one-hot scan kernel — the
     fast path on real TPUs: 5.7 GB/s vs 1.0 for sort at e2=8, bit-identical,
@@ -154,7 +164,7 @@ def predict_f32_chunks(values: jax.Array, e1: int = 4, e2: int = 10):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = values.shape
     mode = _predict_mode()
-    if mode == "pallas" and _use_pallas():
+    if mode == "pallas" and _use_pallas() and _pallas_tables_fit(L, e1, e2):
         from . import fp_pallas
 
         xor1, xor2 = fp_pallas.predict_xors_pallas(values, e1, e2, False)
@@ -405,7 +415,7 @@ def replay_f32_chunks(bcodes: jax.Array, xors: jax.Array, e1: int = 4, e2: int =
 
 def _replay_impl(bcodes, xors, e1, e2):
     e1, e2 = _norm_exponents(e1, e2)
-    if _use_pallas():
+    if _use_pallas() and _pallas_tables_fit(xors.shape[1], e1, e2):
         from . import fp_pallas
 
         return fp_pallas.replay_pallas(bcodes, xors, e1, e2, False)
@@ -738,7 +748,8 @@ def encode_f32_chunks_v2_adaptive(values: jax.Array,
 
 def _predict_bcode_res(values, e1, e2):
     """(bcode, res) via the backend-appropriate predictor (normalized e1/e2)."""
-    if _predict_mode() == "pallas" and _use_pallas():
+    if (_predict_mode() == "pallas" and _use_pallas()
+            and _pallas_tables_fit(values.shape[1], e1, e2)):
         from . import fp_pallas
 
         return _bcode_res_from_xors(

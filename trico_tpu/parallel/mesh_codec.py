@@ -136,11 +136,17 @@ def _shardmap_encode_f32(values, e1, e2, mesh):
         offs_local = jax.lax.dynamic_slice_in_dim(offs, idx * C_loc, C_loc, axis=1)
         return payloads, sizes, offs_local
 
+    # check_vma=False: the per-shard encode dispatches to Pallas kernels whose
+    # pallas_call out_shape ShapeDtypeStructs carry no vma annotation; JAX's
+    # varying-mesh-axis checker rejects those inside shard_map on real TPUs
+    # (ADVICE r2 high). The body is communication-free except the explicit
+    # all_gather, so the vma check adds no safety here.
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=P(None, "chunks", None),
         out_specs=(P(None, "chunks", None), P(None, "chunks"), P(None, "chunks")),
+        check_vma=False,
     )(values)
 
 
@@ -168,6 +174,7 @@ def _shardmap_encode_f64(hi, lo, e1, e2, mesh):
         mesh=mesh,
         in_specs=(P(None, "chunks", None), P(None, "chunks", None)),
         out_specs=(P(None, "chunks", None), P(None, "chunks"), P(None, "chunks")),
+        check_vma=False,  # Pallas out_shapes carry no vma; see _shardmap_encode_f32
     )(hi, lo)
 
 
@@ -410,7 +417,12 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
     sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
     off = 14 + 4 * n_chunks
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
-    n_full = n_chunks - 1 if total % chunk_len or total == 0 else n_chunks
+    if n_chunks == 0 or total == 0:
+        # compress_mesh emits an empty container for 0-element streams
+        # (ADVICE r2 medium: n_full went to -1 here); mirror
+        # chunked.decode_chunked's early return.
+        return np.zeros(total, np.uint32)
+    n_full = n_chunks - 1 if total % chunk_len else n_chunks
 
     out = np.empty(total, np.uint32)
     if n_full:
@@ -436,6 +448,7 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
                 mesh=mesh,
                 in_specs=P("chunks", None),
                 out_specs=P("chunks", None),
+                check_vma=False,  # Pallas out_shapes carry no vma; see above
             )
             vals = _gather_to_host(jax.jit(dec)(jnp.asarray(sub)))[:Cg]
             for j, c in enumerate(idx):
