@@ -164,21 +164,27 @@ def bunny_extra():
         if not bunny.exists():
             return {}
         verts, tris = stl.read_stl(bunny)
-        prof = StageTimer()
-        w = ArchiveWriter()
-        with prof.stage("encode_vertices_fp", verts.nbytes):
-            w.write_vertices(verts)
-        with prof.stage("encode_triangles_lz4", tris.nbytes):
-            w.write_triangles(tris)
-        blob = w.tobytes()
-        r = ArchiveReader(blob)
-        with prof.stage("decode_vertices_fp", verts.nbytes):
-            v2 = r.read_vertices()
-        with prof.stage("decode_triangles_lz4", tris.nbytes):
-            t2 = r.read_triangles()
+        # steady-state throughput: best of 5 reps per stage (one-shot numbers
+        # on this 2-vCPU host are dominated by cold caches / cpufreq ramp)
+        best = {}
+        for _ in range(5):
+            prof = StageTimer()
+            w = ArchiveWriter()
+            with prof.stage("encode_vertices_fp", verts.nbytes):
+                w.write_vertices(verts)
+            with prof.stage("encode_triangles_lz4", tris.nbytes):
+                w.write_triangles(tris)
+            blob = w.tobytes()
+            r = ArchiveReader(blob)
+            with prof.stage("decode_vertices_fp", verts.nbytes):
+                v2 = r.read_vertices()
+            with prof.stage("decode_triangles_lz4", tris.nbytes):
+                t2 = r.read_triangles()
+            for k in prof.stages:
+                best[k] = max(best.get(k, 0.0), prof.gbps(k))
         exact = bool(np.array_equal(v2.view(np.uint32), verts.view(np.uint32))
                      and np.array_equal(t2, tris))
-        stages = {f"bunny_{k}_gbps": round(prof.gbps(k), 3) for k in prof.stages}
+        stages = {f"bunny_{k}_gbps": round(v, 3) for k, v in best.items()}
         return {"bunny_trc_bytes": len(blob), "bunny_ref_trc_bytes": 584613,
                 "bunny_exact": exact, **stages}
     except Exception:

@@ -73,10 +73,18 @@ F64_EXP = (20, 20)
 # makes exponents self-describing (fps.c:120-121, 214-217), so any choice
 # stays decodable by the reference library; picking the smallest result per
 # plane beats the reference's fixed defaults (measured -5.6%% on the bunny's
-# vertex payload, almost all of it from the y plane at (16,20)). Table memory
-# is 2^e2 entries, so candidates stop at e2=22.
-F32_EXP_CANDIDATES = ((4, 10), (2, 8), (8, 14), (12, 18), (16, 20))
-F64_EXP_CANDIDATES = ((20, 20), (10, 16), (16, 20), (20, 22))
+# vertex payload, almost all of it from the y plane at large tables).
+#
+# The default set stops at (14,18): beyond that the DFCM table (2^e2 entries)
+# blows past L2 and the *decode* pred-load chain — which is serial per value —
+# misses cache on every value (measured 0.59 ms vs 0.33 ms per bunny plane for
+# (16,20) vs (14,18), for 3.8%% size difference). optimize="max" adds the
+# big-table candidates for callers who want minimum bytes regardless of
+# decode speed.
+F32_EXP_CANDIDATES = ((4, 10), (2, 8), (8, 14), (14, 18))
+F32_EXP_CANDIDATES_MAX = F32_EXP_CANDIDATES + ((12, 18), (16, 20))
+F64_EXP_CANDIDATES = ((20, 20), (10, 16), (16, 20))
+F64_EXP_CANDIDATES_MAX = F64_EXP_CANDIDATES + ((20, 22),)
 
 
 def _backends(use_native: bool = True):
@@ -112,9 +120,17 @@ class ArchiveWriter:
     """
 
     def __init__(self, use_native: bool = True, chunk_len: int | None = None,
-                 layout: str | None = None, optimize: bool = True):
+                 layout: str | None = None, optimize: bool | str = True):
         self._fp_enc, _, self._lz4_c, _ = _backends(use_native)
         self._chunk_len = chunk_len
+        # threaded batch engine for v0 streams (plane x candidate jobs run
+        # concurrently; the reference encodes serially, trico.c:215-262)
+        self._native = None
+        if use_native and not chunk_len:
+            from . import native as _native_mod
+
+            if _native_mod.available():
+                self._native = _native_mod
         # whole-plane adaptive exponents (v0); chunked archives adapt
         # per chunk inside encode_chunked instead (device argmin — one
         # program, no 5x host encodes)
@@ -160,24 +176,58 @@ class ArchiveWriter:
         else:
             raise TypeError(f"expected float32/float64, got {arr.dtype}")
         self._begin(st, count)
-        for plane in transpose.aos_to_soa(raw.reshape(-1, width), width):
-            self._sub(self._fp_best(plane, exp))
+        # one contiguous (width, n) SoA block: plane i is row i (zero-copy
+        # views; the native search encoder takes the block in one call)
+        soa = np.ascontiguousarray(raw.reshape(-1, width).T)
+        for payload in self._fp_best_planes(soa, exp):
+            self._sub(payload)
+
+    def _fp_best_planes(self, planes, default_exp) -> list[bytes]:
+        """Encode planes; with optimize, pick the smallest payload per plane
+        over the candidate exponent set (self-describing, so decode is
+        unaffected). All (plane, candidate) jobs run concurrently on the
+        native path — wall time is one encode, not len(planes)*len(cands)."""
+        if self._optimize == "max":
+            cands = (F32_EXP_CANDIDATES_MAX if planes[0].dtype == np.uint32
+                     else F64_EXP_CANDIDATES_MAX)
+        elif self._optimize:
+            cands = (F32_EXP_CANDIDATES if planes[0].dtype == np.uint32
+                     else F64_EXP_CANDIDATES)
+        else:
+            cands = (default_exp,)
+        if self._native is not None:
+            if len(cands) == 1:
+                return self._native.fp_encode_each(planes, list(cands) * len(planes))
+            # one native call: rank candidates on a prefix encode per plane
+            # (compression is roughly stationary along a plane, so a prefix
+            # ranks reliably; worst case is a few bytes of missed
+            # optimization, never corruption — exponents stay
+            # self-describing), then full-encode each plane's winner. The
+            # default pair wins near-ties (see tt_fp32_search_encode).
+            n = max(len(p) for p in planes)
+            return self._native.fp_search_encode(
+                planes, list(cands), prefix_n=max(2048, n // 16))
+        out = []
+        for plane in planes:
+            best = None
+            for e in cands:
+                payload = self._fp_enc(plane, *e)
+                if best is None or len(payload) < len(best):
+                    best = payload
+            out.append(best)
+        return out
 
     def _fp_best(self, plane: np.ndarray, default_exp) -> bytes:
-        """Encode one plane; with optimize, pick the smallest payload over the
-        candidate exponent set (self-describing, so decode is unaffected)."""
-        if not self._optimize:
-            return self._fp_enc(plane, *default_exp)
-        cands = F32_EXP_CANDIDATES if plane.dtype == np.uint32 else F64_EXP_CANDIDATES
-        best = None
-        for e in cands:
-            payload = self._fp_enc(plane, *e)
-            if best is None or len(payload) < len(best):
-                best = payload
-        return best
+        """Single-plane form of :meth:`_fp_best_planes`."""
+        return self._fp_best_planes([plane], default_exp)[0]
 
     def _write_lz4_planes(self, st: StreamType, arr: np.ndarray, count: int):
         self._begin(st, count)
+        if self._native is not None:
+            # fused native shuffle + threaded partitioned LZ4 (one call)
+            for payload in self._native.lz4_shuffle_compress(arr):
+                self._sub(payload)
+            return
         for plane in transpose.byte_planes(arr):
             self._sub(self._lz4_c(plane))
 
@@ -317,6 +367,12 @@ class ArchiveReader:
     def __init__(self, data, use_native: bool = True):
         _, self._fp_dec, _, self._lz4_d = _backends(use_native)
         plain_dec = self._fp_dec
+        self._native = None
+        if use_native:
+            from . import native as _native_mod
+
+            if _native_mod.available():
+                self._native = _native_mod
         self._data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
         if len(self._data) < 8:
             raise ValueError("not a trico archive (truncated header)")
@@ -412,10 +468,24 @@ class ArchiveReader:
         count = self._read_u32()
         if st in _FP_STREAMS:
             width, bits = _FP_STREAMS[st]
-            planes = []
-            for _ in range(width):
-                payload = np.frombuffer(self._read_sub(), dtype=np.uint8)
-                planes.append(self._fp_dec(payload, bits))
+            subs = [np.frombuffer(self._read_sub(), dtype=np.uint8)
+                    for _ in range(width)]
+            if self._native is not None and self.version == 0 and width > 1:
+                # all planes through one threaded native call (the reference
+                # decodes substreams one at a time, trico.c:950-958)
+                for s in subs:
+                    if len(s) < 5:
+                        raise ValueError("truncated FP substream")
+                counts = np.array(
+                    [int.from_bytes(s[1:5].tobytes(), "big") for s in subs],
+                    np.int64)
+                sizes = np.array([len(s) for s in subs], np.int64)
+                offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+                vals = self._native.fp_decode_blocks(
+                    np.concatenate(subs), offs, sizes, counts, bits)
+                planes = np.split(vals, np.cumsum(counts)[:-1])
+            else:
+                planes = [self._fp_dec(s, bits) for s in subs]
             for p in planes:
                 if len(p) != count:
                     raise ValueError("substream count mismatch")
@@ -427,14 +497,21 @@ class ArchiveReader:
         else:
             nplanes, dtype, mult = _LZ4_STREAMS[st]
             n_elem = count * mult
-            planes = []
-            for _ in range(nplanes):
-                payload = np.frombuffer(self._read_sub(), dtype=np.uint8)
-                planes.append(self._lz4_d(payload, n_elem))
-            if nplanes == 1:
-                arr = planes[0].view(dtype)
+            subs = [np.frombuffer(self._read_sub(), dtype=np.uint8)
+                    for _ in range(nplanes)]
+            if (self._native is not None and self.version == 0
+                    and nplanes > 1 and n_elem):
+                # fused native: threaded per-plane LZ4 decode + byte unshuffle
+                sizes = np.array([len(s) for s in subs], np.int64)
+                offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+                arr = self._native.lz4_decompress_unshuffle(
+                    np.concatenate(subs), offs, sizes, n_elem, dtype)
             else:
-                arr = transpose.from_byte_planes(planes, dtype)
+                planes = [self._lz4_d(s, n_elem) for s in subs]
+                if nplanes == 1:
+                    arr = planes[0].view(dtype)
+                else:
+                    arr = transpose.from_byte_planes(planes, dtype)
             if mult == 3:
                 arr = arr.reshape(-1, 3)
         self._advance_stream_type()

