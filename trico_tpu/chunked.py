@@ -79,6 +79,40 @@ def _relayout_payload(payload: bytes, bits: int, to_v2: bool) -> bytes:
     return fn(buf).tobytes()
 
 
+class ContainerHeader:
+    """Parsed v1 chunked-container header (the 15-byte fixed prefix)."""
+
+    __slots__ = ("bits", "kind", "layout", "chunk_len", "total", "n_chunks")
+
+    def __init__(self, bits, kind, layout, chunk_len, total, n_chunks):
+        self.bits = bits            # 32 | 64
+        self.kind = kind            # "fp" | "lz4"
+        self.layout = layout        # "ref" | "tpu"
+        self.chunk_len = chunk_len
+        self.total = total
+        self.n_chunks = n_chunks
+
+
+def parse_container_header(payload) -> ContainerHeader | None:
+    """Parse a v1 chunked-container prefix, or None if ``payload`` is not one.
+
+    This is the one place that interprets the flags byte — dispatchers must
+    route on the parsed fields, not on raw payload bytes (a new flags bit
+    would silently break byte sniffing)."""
+    buf = memoryview(payload)
+    if len(buf) < 15 or buf[0] != 1:
+        return None
+    flags = buf[1]
+    if flags & ~7:
+        return None  # unknown flag bits: not ours to interpret
+    chunk_len, total, n_chunks = struct.unpack_from("<III", buf, 2)
+    return ContainerHeader(
+        bits=64 if flags & 1 else 32,
+        kind="lz4" if flags & 2 else "fp",
+        layout="tpu" if flags & 4 else "ref",
+        chunk_len=chunk_len, total=total, n_chunks=n_chunks)
+
+
 def _payload_count(buf: np.ndarray, bits: int) -> int:
     n = int.from_bytes(buf[1:5].tobytes(), "big")
     group = 8 if bits == 32 else 2

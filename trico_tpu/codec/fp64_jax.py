@@ -27,6 +27,7 @@ import numpy as np
 from .fp_jax import (
     _SCAN_UNROLL,
     _compact_monotone,
+    _cumsum_l,
     _expand_monotone,
     _map_row_blocks,
     _onehot_read,
@@ -364,7 +365,7 @@ def _pack_f64_chunks_v2_impl(bcode, rhi, rlo, e1, e2):
     B = f64_max_chunk_bytes(L)
     bcode = bcode.astype(jnp.int32)
     length = _glen64(bcode)
-    cum = jnp.cumsum(length, axis=1)
+    cum = _cumsum_l(length)
     res_before = cum - length
     n_res = cum[:, -1]
     total = 5 + G + n_res
@@ -411,7 +412,7 @@ def _parse_f64_chunks_v2_impl(payloads, L, e1, e2):
     tags = payloads[:, 5 : 5 + G].astype(jnp.int32)
     bcodes = jnp.stack([tags & 15, (tags >> 4) & 15], axis=2).reshape(C, L)
     lens = _glen64(bcodes)
-    cum = jnp.cumsum(lens, axis=1)
+    cum = _cumsum_l(lens)
     res_before = cum - lens
 
     n_res = cum[:, -1]

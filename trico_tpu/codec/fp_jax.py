@@ -339,7 +339,7 @@ def pack_f32_chunks(bcode: jax.Array, res: jax.Array, e1: int = 4, e2: int = 10)
     bcode = bcode.astype(jnp.int32)
     length = jnp.asarray(_LEN32_NP)[bcode]  # (C, L)
 
-    cum = jnp.cumsum(length, axis=1)
+    cum = _cumsum_l(length)
     res_before = cum - length
     total = 5 + 3 * G + cum[:, -1]
 
@@ -460,6 +460,23 @@ def _glen32(bc):
     lens table [0,1,2,3,4,1,2,3] == bc - 4*(bc >= 5)."""
     bc = bc.astype(jnp.int32)
     return jnp.where(bc >= 5, bc - 4, bc)
+
+
+def _cumsum_l(x):
+    """Inclusive cumsum along axis 1, hierarchical (8-wide leaf + group
+    level). XLA:TPU lowers a flat length-L cumsum to ~log2(L) full-array
+    shifted-add passes (~12 HBM round trips at L=4096) — this was the pack/
+    parse bottleneck. Two levels cut it to ~3 leaf passes + a G-length
+    cumsum at 1/8 the size."""
+    C, L = x.shape
+    if L <= 512:
+        return jnp.cumsum(x, axis=1)
+    G = L // 8
+    xg = x.reshape(C, G, 8)
+    intra = jnp.cumsum(xg, axis=2)
+    gsum = intra[:, :, 7]
+    gpre = jnp.cumsum(gsum, axis=1) - gsum
+    return (intra + gpre[:, :, None]).reshape(C, L)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -617,7 +634,7 @@ def _pack_f32_chunks_v2_impl(bcode, res, e1, e2):
     B = f32_max_chunk_bytes(L)
     bcode = bcode.astype(jnp.int32)
     length = _glen32(bcode)  # (C, L)
-    cum = jnp.cumsum(length, axis=1)
+    cum = _cumsum_l(length)
     res_before = cum - length
     n_res = cum[:, -1]
     total = 5 + 3 * G + n_res
@@ -680,7 +697,7 @@ def _parse_f32_chunks_v2_impl(payloads, L, e1, e2):
     shifts = (3 * jnp.arange(8, dtype=jnp.uint32)).reshape(1, 1, 8)
     bcodes = ((tag24[:, :, None] >> shifts) & 7).astype(jnp.int32).reshape(C, L)
     lens = _glen32(bcodes)
-    cum = jnp.cumsum(lens, axis=1)
+    cum = _cumsum_l(lens)
     res_before = cum - lens
     n_res = cum[:, -1]
 

@@ -270,8 +270,11 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
     return out
 
 
-def compress_mesh(vertices, triangles=None, *, vertex_normals=None,
-                  vertex_colors=None, uv_per_vertex=None,
+def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
+                  attributes_uint16=None, vertex_normals=None,
+                  vertex_colors=None, uv_per_triangle=None,
+                  uv_per_vertex=None, attributes_uint8=None,
+                  attributes_uint32=None, attributes_uint64=None,
                   chunk_len: int = 4096, mesh: Mesh | None = None,
                   optimize: bool = True) -> bytes:
     """Distributed encode of a full mesh into a complete v1 ``.trc`` archive.
@@ -325,17 +328,42 @@ def compress_mesh(vertices, triangles=None, *, vertex_normals=None,
            else StreamType.vertex_float)
     add_fp_stream(vst, verts, 3)
     if triangles is not None:
-        tris = np.ascontiguousarray(triangles, np.uint32)
-        add_lz4_stream(StreamType.triangle_uint32, tris, tris.size // 3)
+        tris = np.asarray(triangles)
+        if tris.dtype == np.uint64 or (tris.size and tris.max() >= 2**32):
+            tris = np.ascontiguousarray(tris, np.uint64)
+            add_lz4_stream(StreamType.triangle_uint64, tris, tris.size // 3)
+        else:
+            tris = np.ascontiguousarray(tris, np.uint32)
+            add_lz4_stream(StreamType.triangle_uint32, tris, tris.size // 3)
+    if triangle_normals is not None:
+        add_fp_stream(StreamType.triangle_normal_float,
+                      np.asarray(triangle_normals, np.float32), 3)
+    if attributes_uint16 is not None:
+        a = np.ascontiguousarray(attributes_uint16, np.uint16)
+        add_lz4_stream(StreamType.attribute_uint16, a, a.size)
     if vertex_normals is not None:
         add_fp_stream(StreamType.vertex_normal_float,
                       np.asarray(vertex_normals, np.float32), 3)
     if vertex_colors is not None:
         colors = np.ascontiguousarray(vertex_colors, np.uint32)
         add_lz4_stream(StreamType.vertex_color, colors, colors.size)
+    if uv_per_triangle is not None:
+        uvt = np.asarray(uv_per_triangle, np.float32)
+        # count semantics follow the reference quirk: uv-per-triangle floats
+        # carry 3 uv pairs per triangle (trico.c:577-580)
+        add_fp_stream(StreamType.uv_per_triangle_float, uvt, 2)
     if uv_per_vertex is not None:
         add_fp_stream(StreamType.uv_per_vertex_float,
                       np.asarray(uv_per_vertex, np.float32), 2)
+    if attributes_uint8 is not None:
+        a = np.ascontiguousarray(attributes_uint8, np.uint8)
+        add_lz4_stream(StreamType.attribute_uint8, a, a.size)
+    if attributes_uint32 is not None:
+        a = np.ascontiguousarray(attributes_uint32, np.uint32)
+        add_lz4_stream(StreamType.attribute_uint32, a, a.size)
+    if attributes_uint64 is not None:
+        a = np.ascontiguousarray(attributes_uint64, np.uint64)
+        add_lz4_stream(StreamType.attribute_uint64, a, a.size)
     return b"".join(parts)
 
 
@@ -371,26 +399,34 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
         StreamType.uv_per_triangle_float: "uv_per_triangle",
         StreamType.uv_per_triangle_double: "uv_per_triangle",
     }
+    from .. import chunked as _chunked
+
     out: dict = {}
     while r.next_stream_type != StreamType.empty:
         st = r.next_stream_type
-        if st in _FP_STREAMS and _FP_STREAMS[st][1] == 32:
-            width = _FP_STREAMS[st][0]
+        if st in _FP_STREAMS:
+            width, bits = _FP_STREAMS[st]
             count = r._read_u32()
             planes = []
             for _ in range(width):
                 payload = bytes(r._read_sub())
-                if len(payload) >= 2 and payload[0] == 1 and (payload[1] & 7) == 4:
+                # dispatch on the PARSED container header, never raw bytes
+                # (r2 VERDICT weak #6): the sharded collective-free decode
+                # handles f32 fp-kind tpu-layout containers; everything else
+                # (f64, ref layout, LZ4-kind, non-chunked) goes through the
+                # chunked host/device codec.
+                hdr = _chunked.parse_container_header(payload)
+                if (hdr is not None and hdr.kind == "fp" and hdr.bits == 32
+                        and hdr.layout == "tpu" and bits == 32):
                     planes.append(decode_vertices_sharded(payload, mesh))
                 else:
-                    from .. import chunked as _chunked
-
                     planes.append(_chunked.decode_chunked(payload)[0])
             for p in planes:
                 if len(p) != count:
                     raise ValueError("substream count mismatch")
-            arr = transpose.soa_to_aos(planes).view(np.float32).reshape(-1, width) \
-                if width > 1 else planes[0].view(np.float32)
+            ftype = np.float32 if bits == 32 else np.float64
+            arr = transpose.soa_to_aos(planes).view(ftype).reshape(-1, width) \
+                if width > 1 else planes[0].view(ftype)
             r._advance_stream_type()
             out[names.get(st, st.name)] = arr
         else:
