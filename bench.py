@@ -49,7 +49,7 @@ raw = vals.view(np.uint32)
 C = n_values // chunk_len
 x = jnp.asarray(raw[: C * chunk_len].reshape(C, chunk_len))
 
-E1, E2 = 4, 8  # production chunked-mode exponents (chunked.F32_TPU_EXP)
+E1, E2 = 4, 6  # production chunked-mode exponents (chunked.F32_TPU_EXP)
 
 # warm-up / compile. Production format: v2 "tpu layout" chunk payloads
 # (tags front-loaded; bytes are a pure permutation of the reference layout,

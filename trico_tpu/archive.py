@@ -151,6 +151,11 @@ class ArchiveWriter:
             lay = layout
 
             def _enc(vals, e1, e2):
+                # the v0 stream default (4,10) maps to the chunked-mode
+                # default F32_TPU_EXP (device-tuned; self-describing per
+                # chunk); explicit caller exponents pass through
+                if (e1, e2) == F32_EXP and vals.dtype == np.uint32:
+                    e1, e2 = _chunked.F32_TPU_EXP
                 return _chunked.encode_chunked(vals, cl, e1, e2, layout=lay,
                                                optimize=chunk_opt)
 

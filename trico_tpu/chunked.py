@@ -36,10 +36,11 @@ import numpy as np
 from .codec import fp_ref
 
 DEFAULT_CHUNK_LEN = 4096
-# Chunked-mode hash exponents: e2=8 costs ~0.2% ratio vs the reference's
-# (4,10) on mesh data but runs the 256-entry table 2x faster on TPU (VMEM
-# one-hot width). Self-describing via each chunk's hash_info byte.
-F32_TPU_EXP = (4, 8)
+# Chunked-mode hash exponents: e2=6 costs ~0.4% ratio vs (4,10) on mesh data
+# (and is byte-identical on the bench stream) but runs the one-hot DFCM table
+# 4x faster on TPU than e2=8's 256 rows (VMEM one-hot scan is linear in the
+# table height). Self-describing via each chunk's hash_info byte.
+F32_TPU_EXP = (4, 6)
 
 
 def _tpu_available() -> bool:

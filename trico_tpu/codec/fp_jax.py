@@ -651,21 +651,25 @@ def _pack_f32_chunks_v2_impl(bcode, res, e1, e2):
         [(tag24 >> 16) & 0xFF, (tag24 >> 8) & 0xFF, tag24 & 0xFF], axis=2
     ).reshape(C, 3 * G).astype(jnp.uint8)
 
-    # residual compaction: candidate byte k of value i sits at natural position
-    # 4*i + k and lands at region offset res_before[i] + k when k < length[i].
-    # The leftward displacement 4*i - res_before[i] is nondecreasing in i and
-    # constant over k, so the log-shift network applies.
-    k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
-    res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.uint32)
-    valid = (k < length[:, :, None]).reshape(C, 4 * L)
-    i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
-    move = jnp.broadcast_to(4 * i - res_before[:, :, None], (C, L, 4)).reshape(C, 4 * L)
-    region = _compact_monotone(
-        res_bytes.reshape(C, 4 * L), move, valid, 8
-    ).astype(jnp.uint8)
-    pos = jnp.arange(4 * L, dtype=jnp.int32)[None, :]
-    region = jnp.where(pos < n_res[:, None], region, 0)
+    # residual region: word-funnel assembly (pack_funnel — two L-lane merging
+    # networks, ~4x less movement work than the 4L-slot byte network, same
+    # bytes). TRICO_TPU_PACK=slots keeps the old byte-slot network selectable.
+    if _os.environ.get("TRICO_TPU_PACK") == "slots":
+        k = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        shift = 8 * jnp.clip(length[:, :, None] - 1 - k, 0, 3)
+        res_bytes = ((res[:, :, None] >> shift.astype(jnp.uint32)) & 0xFF).astype(jnp.uint32)
+        valid = (k < length[:, :, None]).reshape(C, 4 * L)
+        i = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+        move = jnp.broadcast_to(4 * i - res_before[:, :, None], (C, L, 4)).reshape(C, 4 * L)
+        region = _compact_monotone(
+            res_bytes.reshape(C, 4 * L), move, valid, 8
+        ).astype(jnp.uint8)
+        pos = jnp.arange(4 * L, dtype=jnp.int32)[None, :]
+        region = jnp.where(pos < n_res[:, None], region, 0)
+    else:
+        from .pack_funnel import region_bytes_f32
+
+        region, _ = region_bytes_f32(length, res)
 
     out = jnp.concatenate([jnp.broadcast_to(hdr, (C, 5)), tags, region], axis=1)
     assert out.shape == (C, B)
@@ -740,10 +744,15 @@ def encode_f32_chunks_v2(values: jax.Array, e1: int = 4, e2: int = 10):
     return _map_row_blocks(enc, values.shape[1], values)
 
 
-# Device-adaptive candidate exponents for chunked containers: all small-table
-# (e2 <= 10) so the decode replay stays cheap on device; the self-describing
-# per-chunk hash_info byte makes any mix decodable (fps.c:120-121, 214-217).
-F32_TPU_CANDIDATES = ((4, 10), (2, 8), (4, 8), (6, 10))
+# Device-adaptive candidate exponents for chunked containers. All candidates
+# share e2=6 (one 64-row DFCM table) with tiny FCM tables (1/4/16/64 rows), so
+# the exact per-chunk size search costs ~1.5 predictor passes instead of 4+
+# full passes (VERDICT r2 #1): one fused (e1=4, e2=6) pass + one FCM-only
+# multi-exponent pass; e1=0 collapses to v ^ vprev in XLA. Measured ratio vs
+# the former ((4,10),(2,8),(4,8),(6,10)) set: -0.1% bunny, -0.0009% bench
+# stream (i.e. slightly smaller output). Self-describing per-chunk hash_info
+# keeps any mix decodable (fps.c:120-121, 214-217).
+F32_TPU_CANDIDATES = ((0, 6), (2, 6), (4, 6), (6, 6))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -774,13 +783,56 @@ def _predict_bcode_res(values, e1, e2):
     return _bcode_res_from_xors(*_predict_sort(values, e1, e2))
 
 
+def _candidate_xors(values, norm):
+    """(xor1, xor2) per normalized candidate, sharing predictor work.
+
+    Fast path (the F32_TPU_CANDIDATES shape): every candidate shares one e2,
+    so the DFCM xor is computed once — one fused (e1_main, e2) Pallas pass
+    plus one FCM-only multi-exponent pass for the remaining table sizes
+    (e1=0 is just v ^ vprev). Falls back to one full predictor per candidate
+    for arbitrary sets. Bit-identical either way.
+    """
+    C, L = values.shape
+    e2s = {e2 for (_, e2) in norm}
+    use_pallas = (_predict_mode() == "pallas" and _use_pallas())
+    shared = len(e2s) == 1 and len({e1 for e1, _ in norm}) == len(norm)
+    if shared and use_pallas:
+        from . import fp_pallas
+
+        E2 = next(iter(e2s))
+        nonzero = [e1 for (e1, _) in norm if e1]
+        if nonzero and _pallas_tables_fit(L, max(nonzero), E2):
+            main = nonzero[0]
+            xor1 = {}
+            xor1[main], xor2 = fp_pallas.predict_xors_pallas(values, main, E2, False)
+            rest = tuple(e1 for e1 in nonzero[1:])
+            if rest:
+                for e1, x in zip(rest, fp_pallas.predict_fcm_xors_pallas(values, rest)):
+                    xor1[e1] = x
+            if any(e1 == 0 for (e1, _) in norm):
+                vprev = jnp.concatenate(
+                    [jnp.zeros((C, 1), jnp.uint32), values[:, :-1]], axis=1)
+                xor1[0] = values ^ vprev
+            return [(xor1[e1], xor2) for (e1, _) in norm]
+    return [_candidate_xors_one(values, e1, e2) for (e1, e2) in norm]
+
+
+def _candidate_xors_one(values, e1, e2):
+    if (_predict_mode() == "pallas" and _use_pallas()
+            and _pallas_tables_fit(values.shape[1], e1, e2)):
+        from . import fp_pallas
+
+        return fp_pallas.predict_xors_pallas(values, e1, e2, False)
+    return _predict_sort(values, e1, e2)
+
+
 def _encode_f32_chunks_v2_adaptive_impl(values, candidates):
     C, L = values.shape
     G = L // 8
     norm = [_norm_exponents(e1, e2) for (e1, e2) in candidates]
     bcs, ress, sizes = [], [], []
-    for (e1, e2) in norm:
-        bc, res = _predict_bcode_res(values, e1, e2)
+    for (xor1, xor2) in _candidate_xors(values, norm):
+        bc, res = _bcode_res_from_xors(xor1, xor2)
         bcs.append(bc)
         ress.append(res)
         sizes.append(5 + 3 * G + jnp.sum(_glen32(bc), axis=1))

@@ -82,6 +82,72 @@ def _predict_kernel(e1, e2, T1, T2, L, CB, in_ref, xor1_ref, xor2_ref, t1_ref, t
     jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
 
 
+def _fcm_multi_kernel(e1s, L, CB, in_ref, *refs):
+    """FCM-only predictor scan for several exponents in one pass.
+
+    The FCM tables are tiny (2^e1 ≤ 64 rows for the adaptive candidate set),
+    so evaluating K exponents costs barely more than one DFCM pass — this is
+    what makes exact per-chunk adaptive exponent search cheap (VERDICT r2 #1).
+    refs = K xor outputs then K table scratches.
+    """
+    K = len(e1s)
+    xor_refs, t_refs = refs[:K], refs[K:]
+    iotas = [jax.lax.broadcasted_iota(jnp.uint32, (1 << e, CB), 0) for e in e1s]
+    for k in range(K):
+        t_refs[k][:] = jnp.zeros((1 << e1s[k], CB), jnp.uint32)
+    z = jnp.zeros((1, CB), jnp.uint32)
+
+    def body(i, carry):
+        preds, hs = carry
+        v = in_ref[i, :].reshape(1, CB)
+        new_preds, new_hs = [], []
+        for k, e in enumerate(e1s):
+            xor_refs[k][i, :] = (v ^ preds[k]).reshape(CB)
+            # write at the pre-update hash, then update and read (fps.c:76-79,
+            # 133-136: table store precedes the hash update)
+            t_refs[k][:] = jnp.where(iotas[k] == hs[k], v, t_refs[k][:])
+            hn = v >> (32 - e)
+            new_preds.append(_onehot_reduce(t_refs[k][:], iotas[k], hn))
+            new_hs.append(hn)
+        return tuple(new_preds), tuple(new_hs)
+
+    jax.lax.fori_loop(
+        0, L, body,
+        (tuple(z for _ in range(K)), tuple(z for _ in range(K))))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def predict_fcm_xors_pallas(values: jax.Array, e1s: tuple, interpret: bool = False):
+    """(C, L) uint32 chunks → tuple of FCM xor1 arrays, one per exponent in
+    ``e1s`` (each e1 ≥ 2; e1 = 0 degenerates to v ^ vprev — compute in XLA)."""
+    C, L = values.shape
+    K = len(e1s)
+    Tsum = sum(1 << e for e in e1s)
+    budget = 14 * 1024 * 1024
+    CB = C_BLK
+    while CB > 128 and (2 * (1 + K) * L + Tsum) * CB * 4 > budget:
+        CB //= 2
+    vT, Cp = _pad_lanes(values.T, CB)
+    kern = functools.partial(_fcm_multi_kernel, e1s, L, CB)
+    outs = pl.pallas_call(
+        kern,
+        grid=(Cp // CB,),
+        in_specs=[pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((L, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(K)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Cp), jnp.uint32) for _ in range(K)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1 << e, CB), jnp.uint32) for e in e1s
+        ],
+        interpret=interpret,
+    )(vT)
+    return tuple(o[:, :C].T for o in outs)
+
+
 def _replay_kernel(e1, e2, T1, T2, L, CB, fcm_max, xor_ref, bc_ref, out_ref, t1_ref, t2_ref):
     m2 = np.uint32((1 << e2) - 1)
     iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
@@ -171,6 +237,58 @@ def logshift_pallas(word: jax.Array, pb: int, direction: str,
         out_shape=jax.ShapeDtypeStruct((Cp, S), jnp.uint32),
         interpret=interpret,
     )(word)
+    return out[:C]
+
+
+def _pair_compact_kernel(nbits, S, interpret, c_ref, p_ref, out_ref):
+    """Merging monotone left-compaction over lanes (see pack_funnel).
+
+    carrier = disp << 1 | 1 (0 dead); payload ORs on same-destination merge.
+    Whole network runs on a (R, S) VMEM tile: one HBM read per array, one
+    write, versus 2*nbits round trips for the XLA formulation.
+    """
+    c = c_ref[:, :]
+    p = p_ref[:, :]
+    R = c.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    roll = jnp.roll if interpret else pltpu.roll
+    for b in range(nbits):
+        d = 1 << b
+        keep = lane < S - d
+        cand_c = jnp.where(keep, roll(c, S - d, axis=1), 0)
+        cand_p = jnp.where(keep, roll(p, S - d, axis=1), 0)
+        bit = jnp.uint32(d << 1)
+        arrives = (cand_c & bit) != 0
+        departs = (c & bit) != 0
+        stays = ((c & 1) != 0) & ~departs
+        c = jnp.where(arrives, cand_c - bit, jnp.where(departs, 0, c))
+        p = jnp.where(arrives & stays, p | cand_p,
+                      jnp.where(arrives, cand_p, jnp.where(departs, 0, p)))
+    out_ref[:, :] = jnp.where(c == 1, p, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def pair_compact_or_pallas(carrier: jax.Array, payload: jax.Array, nbits: int,
+                           interpret: bool = False):
+    """VMEM merging compaction of (C, S) (carrier, payload) rows."""
+    C, S = carrier.shape
+    R = _R_SUB
+    Cp = ((C + R - 1) // R) * R
+    if Cp != C:
+        carrier = jnp.pad(carrier, ((0, Cp - C), (0, 0)))
+        payload = jnp.pad(payload, ((0, Cp - C), (0, 0)))
+    kern = functools.partial(_pair_compact_kernel, nbits, S, interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(Cp // R,),
+        in_specs=[
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cp, S), jnp.uint32),
+        interpret=interpret,
+    )(carrier, payload)
     return out[:C]
 
 
