@@ -89,12 +89,61 @@ agbps = C * chunk_len * 4 / 1e9 / adt
 # small D2H: compressed size vector + exactness bit
 exact = bool(jnp.all(dec == x))
 comp_bytes = int(jnp.sum(sizes))
+
+# MISCOMPILE CANARY (VERDICT r2 #7): XLA:TPU miscompiled the fused v2 parse
+# once the per-program slot arrays reached ~32M entries (C=8192/L=1024);
+# production row-blocking (fp_jax._row_block) fences it. Run exactly that
+# shape through encode+decode every round and assert exactness, so an XLA
+# release shifting the threshold cannot silently pass the bench.
+Cc, Lc = 8192, 1024
+xc = jnp.asarray(raw[: Cc * Lc].reshape(Cc, Lc))
+pc, sc = fp_jax.encode_f32_chunks_v2(xc, E1, E2)
+canary = bool(jnp.all(fp_jax.decode_f32_chunks_v2(pc, Lc, E1, E2) == xc))
+
+# SCALE RUNS (VERDICT r2 #8): HBM-filling sizes, generated on device (the
+# host tunnel is too slow for GB-scale H2D). 42M values ~ Lucy-class vertex
+# stream (14M vertices x xyz); 300M values ~ a 100M-point cloud (BASELINE
+# config #5). One rep each (steady-state enough at these sizes).
+scale = {}
+for label, nsc in (("lucy42M", 42 * 1024 * 1024), ("cloud300M", 300 * 1024 * 1024)):
+    try:
+        key = jax.random.PRNGKey(0)
+        step = jax.random.normal(key, (nsc,), jnp.float32) * 1e-3
+        v = (jnp.cumsum(step) + jnp.sin(jnp.linspace(0., 3000., nsc)) * 10
+             ).astype(jnp.float32)
+        xs = jax.lax.bitcast_convert_type(v, jnp.uint32).reshape(
+            nsc // chunk_len, chunk_len)
+        jax.block_until_ready(xs)
+        ps, ss = fp_jax.encode_f32_chunks_v2(xs, E1, E2)
+        jax.block_until_ready(ps)
+        t0 = time.perf_counter()
+        ps, ss = fp_jax.encode_f32_chunks_v2(xs, E1, E2)
+        jax.block_until_ready(ps)
+        enc_dt = time.perf_counter() - t0
+        ds = fp_jax.decode_f32_chunks_v2(ps, chunk_len, E1, E2)
+        jax.block_until_ready(ds)
+        t0 = time.perf_counter()
+        ds = fp_jax.decode_f32_chunks_v2(ps, chunk_len, E1, E2)
+        jax.block_until_ready(ds)
+        dec_dt = time.perf_counter() - t0
+        scale[label] = {
+            "encode_gbps": round(nsc * 4 / 1e9 / enc_dt, 3),
+            "decode_gbps": round(nsc * 4 / 1e9 / dec_dt, 3),
+            "ratio": round(nsc * 4 / int(jnp.sum(ss)), 4),
+            "exact": bool(jnp.all(ds == xs)),
+        }
+        del xs, ps, ss, ds, v, step
+    except Exception as e:  # OOM/tunnel hiccup: record, don't kill the bench
+        scale[label] = {"error": str(e)[:120]}
+
 json.dump({"gbps": gbps, "decode_gbps": dgbps,
            "adaptive_encode_gbps": agbps,
            "ratio": C * chunk_len * 4 / comp_bytes,
            "adaptive_ratio": C * chunk_len * 4 / int(jnp.sum(sz_a)),
            "chunk_len": chunk_len,
-           "exact": exact, "backend": jax.default_backend()}, open(out_path, "w"))
+           "miscompile_canary": canary, "scale": scale,
+           "exact": exact and canary,
+           "backend": jax.default_backend()}, open(out_path, "w"))
 """
 
 
