@@ -94,9 +94,14 @@ comp_bytes = int(jnp.sum(sizes))
 # once the per-program slot arrays reached ~32M entries (C=8192/L=1024);
 # production row-blocking (fp_jax._row_block) fences it. Run exactly that
 # shape through encode+decode every round and assert exactness, so an XLA
-# release shifting the threshold cannot silently pass the bench.
+# release shifting the threshold cannot silently pass the bench. Canary data
+# is generated on device (like the scale runs) so it never depends on the
+# TRICO_BENCH_VALUES stream size (ADVICE r3).
 Cc, Lc = 8192, 1024
-xc = jnp.asarray(raw[: Cc * Lc].reshape(Cc, Lc))
+ck = jax.random.normal(jax.random.PRNGKey(7), (Cc * Lc,), jnp.float32) * 1e-3
+cv = (jnp.cumsum(ck) + jnp.sin(jnp.linspace(0., 3000., Cc * Lc)) * 10
+      ).astype(jnp.float32)
+xc = jax.lax.bitcast_convert_type(cv, jnp.uint32).reshape(Cc, Lc)
 pc, sc = fp_jax.encode_f32_chunks_v2(xc, E1, E2)
 canary = bool(jnp.all(fp_jax.decode_f32_chunks_v2(pc, Lc, E1, E2) == xc))
 

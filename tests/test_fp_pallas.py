@@ -88,6 +88,69 @@ def test_pallas_wide_block_edge():
     np.testing.assert_array_equal(np.asarray(res_p), np.asarray(res_s))
 
 
+def test_shared_e2_candidate_xors_interpret_matches_fallback(monkeypatch):
+    """The shared-e2 fast path in `fp_jax._candidate_xors` (one fused
+    (e1_main, e2) Pallas pass + one FCM-only multi-exponent pass + the e1=0
+    XLA branch) is only taken when `_use_pallas()` is true, so CPU CI
+    normally exercises just the per-candidate fallback (ADVICE r3). Force the
+    shared path through interpret-mode kernels and compare every candidate's
+    (xor1, xor2) — and the resulting adaptive encode — against the sort-
+    predictor fallback."""
+    C, L = 3, 256
+    chunks = _chunks(C, L, seed=23)
+    v = jnp.asarray(chunks)
+    norm = [fp_jax._norm_exponents(e1, e2) for (e1, e2) in fp_jax.F32_TPU_CANDIDATES]
+
+    # expected: the per-candidate fallback (pure XLA sort predictor)
+    want = [fp_jax._predict_sort(v, e1, e2) for (e1, e2) in norm]
+
+    # force the shared path, with interpret-mode Pallas kernels so it runs
+    # exactly the production composition on CPU
+    monkeypatch.setattr(fp_jax, "_use_pallas", lambda: True)
+    monkeypatch.setattr(fp_jax, "_predict_mode", lambda: "pallas")
+    real_pred = fp_pallas.predict_xors_pallas
+    real_fcm = fp_pallas.predict_fcm_xors_pallas
+    real_logshift = fp_pallas.logshift_pallas
+    real_replay = fp_pallas.replay_pallas
+    monkeypatch.setattr(
+        fp_pallas, "predict_xors_pallas",
+        lambda vals, e1, e2, interpret=False: real_pred(vals, e1, e2, True))
+    monkeypatch.setattr(
+        fp_pallas, "predict_fcm_xors_pallas",
+        lambda vals, e1s, interpret=False: real_fcm(vals, e1s, True))
+    monkeypatch.setattr(
+        fp_pallas, "logshift_pallas",
+        lambda w, pb, direction, interpret=False: real_logshift(
+            w, pb, direction, True))
+    monkeypatch.setattr(
+        fp_pallas, "replay_pallas",
+        lambda bc, res, e1, e2, interpret=False: real_replay(
+            bc, res, e1, e2, True))
+    real_pair = fp_pallas.pair_compact_or_pallas
+    monkeypatch.setattr(
+        fp_pallas, "pair_compact_or_pallas",
+        lambda carrier, payload, nbits, interpret=False: real_pair(
+            carrier, payload, nbits, True))
+
+    got = fp_jax._candidate_xors(v, norm)
+    assert len(got) == len(want)
+    for k, ((x1g, x2g), (x1w, x2w)) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(np.asarray(x1g), np.asarray(x1w),
+                                      err_msg=f"candidate {norm[k]} xor1")
+        np.testing.assert_array_equal(np.asarray(x2g), np.asarray(x2w),
+                                      err_msg=f"candidate {norm[k]} xor2")
+
+    # and the full adaptive encode through the forced shared path must match
+    # the fallback encode byte-for-byte
+    pay_shared, sz_shared = fp_jax._encode_f32_chunks_v2_adaptive_impl(
+        v, fp_jax.F32_TPU_CANDIDATES)
+    monkeypatch.setattr(fp_jax, "_use_pallas", lambda: False)
+    pay_fb, sz_fb = fp_jax._encode_f32_chunks_v2_adaptive_impl(
+        v, fp_jax.F32_TPU_CANDIDATES)
+    np.testing.assert_array_equal(np.asarray(sz_shared), np.asarray(sz_fb))
+    np.testing.assert_array_equal(np.asarray(pay_shared), np.asarray(pay_fb))
+
+
 @pytest.mark.parametrize("direction", ["left", "right"])
 @pytest.mark.parametrize("S", [128, 512, 4096])
 def test_logshift_pallas_interpret_matches_xla(direction, S):

@@ -128,11 +128,11 @@ def region_words_f32(length, res):
     Ab = A4[:, :, None, :]
     piece = jnp.where(delta <= 0, Ab >> sr, Ab << sl)
     overlap = (delta > -4) & (delta < LEN4[:, :, None, :])
-    W = jnp.sum(jnp.where(overlap, piece, 0), axis=3,
-                dtype=jnp.uint32)  # OR == sum: byte lanes are disjoint... not
-    # quite: use bitwise OR via two-step to be safe
-    # (pieces never overlap a bit position: each byte of the group image comes
-    #  from exactly one value, so sum is exact; keep OR semantics anyway)
+    # Invariant: each byte of the group's dense image comes from exactly one
+    # value (the `overlap` mask keeps only value j's own length_j bytes, and
+    # offsets partition the image), so the pieces are bitwise-disjoint and
+    # sum equals bitwise-OR with no carries.
+    W = jnp.sum(jnp.where(overlap, piece, 0), axis=3, dtype=jnp.uint32)
 
     og = OFF4[:, :, 0]  # group start byte offset (C, Lg)
     r = (og & 3).astype(jnp.uint32)  # residue within dest word, per group

@@ -182,12 +182,24 @@ def _gather_to_host(x) -> np.ndarray:
     """Fetch a (possibly multi-host sharded) array fully to this host.
 
     Within one process ``np.asarray`` suffices; across processes the byte
-    gather rides DCN via ``multihost_utils.process_allgather``."""
-    if jax.process_count() > 1:  # pragma: no cover - needs a real multi-host pod
+    gather rides DCN via ``multihost_utils.process_allgather`` (exercised by
+    tests/test_multiprocess.py on a 2-process localhost Gloo backend)."""
+    if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+def _put_sharded(arr: np.ndarray, mesh: Mesh, spec: P):
+    """Host array (replicated on every process) → globally-sharded device array.
+
+    ``jax.device_put`` with a multi-process ``NamedSharding`` places only the
+    addressable shards on each process, so the shard_map encode/decode below
+    works identically on one process, a virtual CPU mesh, or a multi-host pod
+    (every process holds the full host copy; only its shards hit its devices).
+    """
+    return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
 def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
@@ -211,8 +223,8 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         vals = np.zeros((p, Cp, chunk_len), np.uint32)
         vals[:, :C] = planes[:, : C * chunk_len].reshape(p, C, chunk_len)
         dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
-            jnp.asarray(vals), None if optimize else e1,
-            None if optimize else e2, mesh=mesh
+            _put_sharded(vals, mesh, P(None, "chunks", None)),
+            None if optimize else e1, None if optimize else e2, mesh=mesh
         )
         payloads = _gather_to_host(dev_payloads)
         sizes = _gather_to_host(dev_sizes)
@@ -254,7 +266,8 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
         hi[:, :C] = (full >> np.uint64(32)).astype(np.uint32)
         lo[:, :C] = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
-            jnp.asarray(hi), jnp.asarray(lo), e1, e2, mesh=mesh)
+            _put_sharded(hi, mesh, P(None, "chunks", None)),
+            _put_sharded(lo, mesh, P(None, "chunks", None)), e1, e2, mesh=mesh)
         payloads = _gather_to_host(dev_payloads)
         sizes = _gather_to_host(dev_sizes)
     out = []
@@ -486,7 +499,8 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
                 out_specs=P("chunks", None),
                 check_vma=False,  # Pallas out_shapes carry no vma; see above
             )
-            vals = _gather_to_host(jax.jit(dec)(jnp.asarray(sub)))[:Cg]
+            vals = _gather_to_host(
+                jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None))))[:Cg]
             for j, c in enumerate(idx):
                 out[c * chunk_len : (c + 1) * chunk_len] = vals[j]
     for c in range(n_full, n_chunks):
