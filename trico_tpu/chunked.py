@@ -183,7 +183,6 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             e1, e2 = F32_TPU_EXP
     elif values.dtype == np.uint64:
         bits = 64
-        optimize = False
         if e1 is None:
             e1, e2 = 20, 20
     else:
@@ -195,6 +194,13 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     n = len(values)
     n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
     from .codec.fp_jax import F32_TPU_CANDIDATES
+
+    if bits == 32:
+        opt_cands = F32_TPU_CANDIDATES
+    else:
+        from .codec.fp64_jax import F64_TPU_CANDIDATES
+
+        opt_cands = F64_TPU_CANDIDATES
 
     payloads: list[bytes] = []
     if n >= chunk_len:
@@ -216,8 +222,15 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                 from .codec import fp64_jax
 
                 chunk_len = (chunk_len // 2) * 2 or 2
-                mat, sizes, tail = fp64_jax.encode_f64(values, chunk_len, e1, e2,
-                                                       layout=layout)
+                if optimize and layout == "tpu":
+                    mat, sizes, tail = fp64_jax.encode_f64_adaptive(
+                        values, chunk_len, fp64_jax.F64_TPU_CANDIDATES)
+                elif optimize:
+                    # ref-layout adaptive: host per-chunk best-of (below)
+                    mat, sizes, tail = None, None, None
+                else:
+                    mat, sizes, tail = fp64_jax.encode_f64(values, chunk_len,
+                                                           e1, e2, layout=layout)
             else:
                 mat, sizes, tail = None, None, None
             if sizes is not None:
@@ -225,7 +238,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                 chunk_sizes = [int(s) for s in sizes]
                 body = [rows_to_bytes(mat, sizes).tobytes()]
                 if len(tail):
-                    tp = (_host_fp_encode_best(tail, F32_TPU_CANDIDATES)
+                    tp = (_host_fp_encode_best(tail, opt_cands)
                           if optimize else _host_fp_encode(tail, e1, e2))
                     chunk_sizes.append(len(tp))
                     body.append(tp)
@@ -238,7 +251,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         for i in range(n_chunks):
             vals_i = values[i * chunk_len : (i + 1) * chunk_len]
             if optimize:
-                p = _host_fp_encode_best(vals_i, F32_TPU_CANDIDATES)
+                p = _host_fp_encode_best(vals_i, opt_cands)
             else:
                 p = _host_fp_encode(vals_i, e1, e2)
             full = (i + 1) * chunk_len <= n

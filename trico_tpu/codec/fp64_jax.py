@@ -288,6 +288,32 @@ def encode_f64(values_u64: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 2
     return out, sizes.astype(np.int64), tail
 
 
+def encode_f64_adaptive(values_u64: np.ndarray, chunk_len: int,
+                        candidates=None, layout: str = "tpu"):
+    """Adaptive per-chunk exponent f64 encode (device argmin over
+    ``F64_TPU_CANDIDATES``); v2 "tpu" layout only — the reference-layout
+    host path adapts in chunked.encode_chunked's host loop instead.
+
+    Returns (payloads (C, B) uint8, sizes (C,) int64, tail_values)."""
+    if candidates is None:
+        candidates = F64_TPU_CANDIDATES
+    if layout != "tpu":
+        raise ValueError("adaptive f64 encode requires layout='tpu'")
+    chunk_len = (chunk_len // 2) * 2 or 2
+    n = len(values_u64)
+    C = n // chunk_len
+    tail = values_u64[C * chunk_len:]
+    B = f64_max_chunk_bytes(chunk_len)
+    if C == 0:
+        return np.zeros((0, B), np.uint8), np.zeros(0, np.int64), tail
+    hi, lo = _split_words(values_u64[: C * chunk_len])
+    hi = _pad_rows(hi.reshape(C, chunk_len), C)
+    lo = _pad_rows(lo.reshape(C, chunk_len), C)
+    out, sizes = encode_f64_chunks_v2_adaptive(
+        jnp.asarray(hi), jnp.asarray(lo), tuple(candidates))
+    return np.asarray(out)[:C], np.asarray(sizes, dtype=np.int64)[:C], tail
+
+
 def decode_f64(payloads: np.ndarray, chunk_len: int, e1: int = 20, e2: int = 20,
                layout: str = "ref") -> np.ndarray:
     """Decode (C, B) padded f64 chunk payloads → flat uint64 values."""
@@ -455,6 +481,67 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
             bcode, rh, rl, *_norm_exponents(e1, e2))
 
     return _map_row_blocks(enc, 2 * hi.shape[1], hi, lo)
+
+
+# Adaptive per-chunk f64 exponent candidates. (10,12) keeps both one-hot
+# tables VMEM-viable (1024+4096 rows ≤ the 2^13 device-replay bound in
+# chunked.decode_chunked), unlocking gather-free DEVICE decode for the chunks
+# that pick it; (20,20) is the reference default (trico.c:396), which wins
+# big on f32-widened meshes (its 2^20-row tables memorize the sparse mantissa
+# patterns; measured +10.6% for (10,12) on bunny64_y) and decodes on host
+# threads. Corpus measurement (bunny64 x/y/z widened, random-walk, stride,
+# quantized-grid, geodetic doubles): (10,12) is within noise of every other
+# VMEM-viable pair and beats (20,20) on all true-double streams by 0-1.5%.
+# (10,12) is FIRST so equal-size chunks take the device-decodable exponents.
+F64_TPU_CANDIDATES = ((10, 12), (20, 20))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_f64_chunks_v2_adaptive(hi: jax.Array, lo: jax.Array,
+                                  candidates=F64_TPU_CANDIDATES):
+    """Adaptive per-chunk exponent f64 encode, entirely on device.
+
+    Runs the (scan-free) sort predictor once per candidate, computes each
+    chunk's exact payload size from the bcodes, picks the smallest per chunk
+    (first candidate wins ties), packs once, and stamps each chunk's
+    hash_info byte — the f64 mirror of
+    :func:`fp_jax.encode_f32_chunks_v2_adaptive`. Every chunk remains a
+    standard self-describing FP substream (fps.c:609-615)."""
+    return _map_row_blocks(
+        lambda h, l: _encode_f64_chunks_v2_adaptive_impl(h, l, candidates),
+        2 * hi.shape[1], hi, lo)
+
+
+def _encode_f64_chunks_v2_adaptive_impl(hi, lo, candidates):
+    C, L = hi.shape
+    G = L // 2
+    norm = [_norm_exponents(e1, e2) for (e1, e2) in candidates]
+    bcs, rhs, rls, sizes = [], [], [], []
+    for (e1, e2) in norm:
+        bc, rh, rl = predict_f64_chunks(hi, lo, e1, e2)
+        bcs.append(bc)
+        rhs.append(rh)
+        rls.append(rl)
+        sizes.append(5 + G + jnp.sum(_glen64(bc), axis=1))
+    size_mat = jnp.stack(sizes)  # (K, C)
+    choice = jnp.argmin(size_mat, axis=0)  # first minimum wins
+    bc = jnp.zeros_like(bcs[0])
+    rh = jnp.zeros_like(rhs[0])
+    rl = jnp.zeros_like(rls[0])
+    for k in range(len(norm)):
+        sel = (choice == k)[:, None]
+        bc = jnp.where(sel, bcs[k], bc)
+        rh = jnp.where(sel, rhs[k], rh)
+        rl = jnp.where(sel, rls[k], rl)
+    payloads, total = _pack_f64_chunks_v2_impl(bc, rh, rl, *norm[0])
+    hash_bytes = jnp.asarray(
+        np.array([((e1 >> 1) << 4) | (e2 >> 1) for (e1, e2) in norm], np.uint8))
+    info = jnp.sum(
+        jnp.where(choice[None, :] == jnp.arange(len(norm))[:, None],
+                  hash_bytes[:, None], 0).astype(jnp.uint8),
+        axis=0, dtype=jnp.uint8)
+    payloads = payloads.at[:, 0].set(info)
+    return payloads, total
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

@@ -32,14 +32,18 @@ def _build_dir() -> Path:
 
 def _compile() -> Path:
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    # TRICO_TPU_NATIVE_FLAGS appends extra g++ flags (the sanitizer CI jobs
+    # build with -fsanitize=thread / address,undefined); flags participate in
+    # the cache tag so sanitized builds never alias the production .so.
+    extra = os.environ.get("TRICO_TPU_NATIVE_FLAGS", "").split()
+    tag = hashlib.sha256(src + " ".join(extra).encode()).hexdigest()[:16]
     out = _build_dir() / f"libtrico_native_{tag}.so"
     if out.exists():
         return out
     tmp = out.with_suffix(".so.tmp")
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
-        "-std=c++17", "-fvisibility=hidden", str(_SRC), "-o", str(tmp),
+        "-std=c++17", "-fvisibility=hidden", *extra, str(_SRC), "-o", str(tmp),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, out)

@@ -156,10 +156,15 @@ def _shardmap_encode_f64(hi, lo, e1, e2, mesh):
 
     Same collective shape as :func:`_shardmap_encode_f32` (reference f64
     codec: floating_point_stream_compression.c:576-1164; doubles are carried
-    as (hi, lo) word pairs — TPUs have no native 64-bit integer path)."""
+    as (hi, lo) word pairs — TPUs have no native 64-bit integer path).
+    Pass ``e1=None`` for adaptive per-chunk exponents
+    (``fp64_jax.F64_TPU_CANDIDATES``, the production default)."""
 
     def local(h, l):
-        enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2(hh, ll, e1, e2)
+        if e1 is None:
+            enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2_adaptive(hh, ll)
+        else:
+            enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2(hh, ll, e1, e2)
         payloads, sizes = jax.vmap(enc)(h, l)
         all_sizes = jax.lax.all_gather(sizes, "chunks", axis=1, tiled=True)
         flat = all_sizes.reshape(-1).astype(jnp.int32)
@@ -246,12 +251,15 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
     return out
 
 
-def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
-                          mesh: Mesh) -> list[bytes]:
+def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
+                          optimize: bool = True) -> list[bytes]:
     """Sharded-encode (p, N) uint64 planes → one chunked v1 f64 container each.
 
     Bit-identical to ``chunked.encode_chunked(plane, layout="tpu")`` for any
-    device count (flags: bit 0 = f64, bit 2 = tpu layout)."""
+    device count (flags: bit 0 = f64, bit 2 = tpu layout). ``optimize``
+    picks each chunk's exponents from ``fp64_jax.F64_TPU_CANDIDATES`` on
+    device (ties go to the VMEM-viable pair, so those chunks decode sharded
+    gather-free; (20,20) winners decode on host threads)."""
     from .. import chunked as _chunked
     from ..archive import F64_EXP
 
@@ -270,7 +278,8 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
         lo[:, :C] = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
             _put_sharded(hi, mesh, P(None, "chunks", None)),
-            _put_sharded(lo, mesh, P(None, "chunks", None)), e1, e2, mesh=mesh)
+            _put_sharded(lo, mesh, P(None, "chunks", None)),
+            None if optimize else e1, None if optimize else e2, mesh=mesh)
         payloads = _gather_to_host(dev_payloads)
         sizes = _gather_to_host(dev_sizes)
     out = []
@@ -280,7 +289,8 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int,
             if C else []
         tail = planes[i, C * chunk_len :]
         if len(tail):
-            tp = _chunked._host_fp_encode(tail, e1, e2)
+            tp = (_chunked._host_fp_encode_best(tail, fp64_jax.F64_TPU_CANDIDATES)
+                  if optimize else _chunked._host_fp_encode(tail, e1, e2))
             chunk_sizes.append(len(tp))
             body.append(tp)
         head = struct.pack("<BBIII", 1, 1 | 4, chunk_len, N, len(chunk_sizes))
@@ -325,7 +335,7 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
         if arr.dtype == np.float64:
             raw = np.ascontiguousarray(arr, np.float64).view(np.uint64)
             planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
-            containers = _f64_plane_containers(planes, chunk_len, mesh)
+            containers = _f64_plane_containers(planes, chunk_len, mesh, optimize)
         else:
             raw = np.ascontiguousarray(arr, np.float32).view(np.uint32)
             planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
@@ -431,13 +441,13 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
                 payload = bytes(r._read_sub())
                 # dispatch on the PARSED container header, never raw bytes
                 # (r2 VERDICT weak #6): the sharded collective-free decode
-                # handles f32 fp-kind tpu-layout containers; everything else
-                # (f64, ref layout, LZ4-kind, non-chunked) goes through the
-                # chunked host/device codec.
+                # handles fp-kind tpu-layout containers of either width;
+                # everything else (ref layout, LZ4-kind, non-chunked) goes
+                # through the chunked host/device codec.
                 hdr = _chunked.parse_container_header(payload)
-                if (hdr is not None and hdr.kind == "fp" and hdr.bits == 32
-                        and hdr.layout == "tpu" and bits == 32):
-                    planes.append(decode_vertices_sharded(payload, mesh))
+                if (hdr is not None and hdr.kind == "fp"
+                        and hdr.layout == "tpu" and hdr.bits == bits):
+                    planes.append(decode_plane_sharded(payload, mesh))
                 else:
                     planes.append(_chunked.decode_chunked(payload)[0])
             for p in planes:
@@ -454,40 +464,55 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
     return out
 
 
-def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
-    """Collective-free distributed decode of one chunked f32 container.
+# Device replay needs (2^e1 + 2^e2)-row one-hot tables in VMEM; past this
+# bound the chunks decode on host threads instead (same bound as
+# chunked.decode_chunked uses — the f64 reference default (20,20) exceeds it,
+# the adaptive F64_TPU_CANDIDATES winner (10,12) does not).
+_DEVICE_TABLE_ROWS = 1 << 13
+
+
+def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
+    """Collective-free distributed decode of one chunked FP container
+    (f32 or f64, tpu layout).
 
     Host parses the self-describing framing (sizes → offsets), scatters the
     padded payload matrix over the mesh's chunk axis, and every device decodes
     its chunks with zero communication (the v2 layout parse is gather-free).
-    Returns the flat uint32 value array.
+    Chunks whose self-described exponents exceed the VMEM one-hot bound
+    (f64 (20,20) adaptive winners) decode on host threads instead. Returns
+    the flat uint32 (f32) or uint64 (f64) raw-bits array.
     """
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
     data = bytes(container)
     ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or (flags & 3) or not (flags & 4):
-        raise ValueError("expected a v1 f32 tpu-layout chunked container")
+    if ver != 1 or (flags & 2) or not (flags & 4):
+        raise ValueError("expected a v1 FP tpu-layout chunked container")
+    bits = 64 if flags & 1 else 32
     sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
     off = 14 + 4 * n_chunks
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
+    dt = np.uint32 if bits == 32 else np.uint64
     if n_chunks == 0 or total == 0:
         # compress_mesh emits an empty container for 0-element streams
         # (ADVICE r2 medium: n_full went to -1 here); mirror
         # chunked.decode_chunked's early return.
-        return np.zeros(total, np.uint32)
+        return np.zeros(total, dt)
     n_full = n_chunks - 1 if total % chunk_len else n_chunks
 
     from .. import chunked as _chunked
+    from .. import native
 
-    out = np.empty(total, np.uint32)
+    out = np.empty(total, dt)
     if n_full:
-        B = fp_jax.f32_max_chunk_bytes(chunk_len)
+        B = (fp_jax.f32_max_chunk_bytes(chunk_len) if bits == 32
+             else fp64_jax.f64_max_chunk_bytes(chunk_len))
         buf = np.frombuffer(data, np.uint8)
+        full_sizes = np.asarray(sizes[:n_full], np.int64)
         mat = _chunked.bytes_to_rows(
-            buf[offsets[0] : offsets[n_full]],
-            np.asarray(sizes[:n_full], np.int64), B)
+            buf[offsets[0] : offsets[n_full]], full_sizes, B)
+        out_rows = out[: n_full * chunk_len].reshape(n_full, chunk_len)
         # exponents are self-describing per chunk (adaptive encode): decode
         # each hash_info group with its own static-exponent program
         for hi in np.unique(mat[:, 0]):
@@ -495,28 +520,57 @@ def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.nd
             e1 = int(mat[idx[0], 0] >> 4) << 1
             e2 = int(mat[idx[0], 0] & 15) << 1
             Cg = len(idx)
+            if (1 << e1) + (1 << e2) > _DEVICE_TABLE_ROWS and native.available():
+                # host-threaded decode for VMEM-infeasible exponents
+                sub = native.relayout_chunks(mat[idx], chunk_len, bits,
+                                             to_v2=False)
+                vals = native.fp_decode_blocks(
+                    sub.reshape(-1),
+                    np.arange(Cg, dtype=np.int64) * B, full_sizes[idx],
+                    np.full(Cg, chunk_len, np.int64), bits,
+                ).reshape(Cg, chunk_len)
+                out_rows[idx] = vals
+                continue
             Cp = max(((Cg + n_dev - 1) // n_dev) * n_dev, n_dev)
             sub = np.zeros((Cp, B), np.uint8)
             sub[:Cg] = mat[idx]
 
+            if bits == 32:
+                dec_fn = lambda m, e1=e1, e2=e2: fp_jax.decode_f32_chunks_v2(
+                    m, chunk_len, e1, e2)
+            else:
+                def dec_fn(m, e1=e1, e2=e2):
+                    vh, vl = fp64_jax.decode_f64_chunks_v2(m, chunk_len, e1, e2)
+                    return vh, vl
+
             dec = jax.shard_map(
-                lambda m, e1=e1, e2=e2: fp_jax.decode_f32_chunks_v2(
-                    m, chunk_len, e1, e2),
+                dec_fn,
                 mesh=mesh,
                 in_specs=P("chunks", None),
-                out_specs=P("chunks", None),
+                out_specs=P("chunks", None) if bits == 32
+                else (P("chunks", None), P("chunks", None)),
                 check_vma=False,  # Pallas out_shapes carry no vma; see above
             )
-            vals = _gather_to_host(
-                jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None))))[:Cg]
+            got = jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None)))
+            if bits == 32:
+                vals = _gather_to_host(got)[:Cg]
+            else:
+                vh = _gather_to_host(got[0])[:Cg].astype(np.uint64)
+                vl = _gather_to_host(got[1])[:Cg].astype(np.uint64)
+                vals = (vh << np.uint64(32)) | vl
             # vectorized scatter of whole chunks (fancy-index rows)
-            out[: n_full * chunk_len].reshape(n_full, chunk_len)[idx] = vals
+            out_rows[idx] = vals
     for c in range(n_full, n_chunks):
         # the final partial chunk is host-coded in reference layout
         payload = np.frombuffer(data, np.uint8)[offsets[c] : offsets[c + 1]]
-        vals = _chunked._host_fp_decode(payload, 32)
+        vals = _chunked._host_fp_decode(payload, bits)
         out[c * chunk_len : c * chunk_len + len(vals)] = vals
     return out
+
+
+def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
+    """Back-compat alias for :func:`decode_plane_sharded` (f32 era name)."""
+    return decode_plane_sharded(container, mesh)
 
 
 def roundtrip_step(values, chunk_len: int, mesh: Mesh, e1: int = 4, e2: int = 10):
