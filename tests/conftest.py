@@ -45,6 +45,15 @@ def bunny_vertices(bunny_path):
     return verts
 
 
+@pytest.fixture(scope="session")
+def bunny_triangles(bunny_path):
+    """Deduplicated uint32 triangle index array (M, 3) of the bunny fixture."""
+    from trico_tpu.io.stl import read_stl
+
+    verts, tris = read_stl(bunny_path)
+    return tris
+
+
 def rng(seed=0):
     return np.random.default_rng(seed)
 

@@ -228,6 +228,15 @@ class ArchiveWriter:
 
     def _write_lz4_planes(self, st: StreamType, arr: np.ndarray, count: int):
         self._begin(st, count)
+        if self._chunk_len and arr.dtype.itemsize in (4, 8):
+            # v1: pick the smaller of LZ4-byte-planes and BP32 per stream
+            # (BP32 = TPU-native bit-plane codec, codec/bp_ref.py; wins ~6%
+            # on index-like data, LZ4 keeps low-entropy colors)
+            from . import chunked as _chunked
+
+            for payload in _chunked.encode_int_best(arr):
+                self._sub(payload)
+            return
         if self._native is not None:
             # fused native shuffle + threaded partitioned LZ4 (one call)
             for payload in self._native.lz4_shuffle_compress(arr):
@@ -504,7 +513,23 @@ class ArchiveReader:
             n_elem = count * mult
             subs = [np.frombuffer(self._read_sub(), dtype=np.uint8)
                     for _ in range(nplanes)]
-            if (self._native is not None and self.version == 0
+            bp_hdr = None
+            if self.version == 1 and subs:
+                from . import chunked as _chunked
+
+                bp_hdr = _chunked.parse_container_header(subs[0])
+                if bp_hdr is not None and bp_hdr.kind != "bp":
+                    bp_hdr = None
+            if bp_hdr is not None:
+                # BP32 stream: full values live in substream 0; the remaining
+                # substreams are empty placeholders keeping framing fixed
+                from . import chunked as _chunked
+
+                arr = _chunked.decode_bp_chunked(subs[0]).astype(dtype,
+                                                                 copy=False)
+                if len(arr) != n_elem:
+                    raise ValueError("BP32 substream count mismatch")
+            elif (self._native is not None and self.version == 0
                     and nplanes > 1 and n_elem):
                 # fused native: threaded per-plane LZ4 decode + byte unshuffle
                 sizes = np.array([len(s) for s in subs], np.int64)

@@ -101,15 +101,15 @@ def parse_container_header(payload) -> ContainerHeader | None:
     route on the parsed fields, not on raw payload bytes (a new flags bit
     would silently break byte sniffing)."""
     buf = memoryview(payload)
-    if len(buf) < 15 or buf[0] != 1:
+    if len(buf) < 14 or buf[0] != 1:
         return None
     flags = buf[1]
-    if flags & ~7:
-        return None  # unknown flag bits: not ours to interpret
+    if flags & ~15 or (flags & 2 and flags & 8):
+        return None  # unknown flag bits / contradictory kind: not ours
     chunk_len, total, n_chunks = struct.unpack_from("<III", buf, 2)
     return ContainerHeader(
         bits=64 if flags & 1 else 32,
-        kind="lz4" if flags & 2 else "fp",
+        kind="bp" if flags & 8 else ("lz4" if flags & 2 else "fp"),
         layout="tpu" if flags & 4 else "ref",
         chunk_len=chunk_len, total=total, n_chunks=n_chunks)
 
@@ -304,6 +304,161 @@ def encode_lz4_chunked(plane: np.ndarray, block_len: int = DEFAULT_LZ4_BLOCK,
     head = struct.pack("<BBIII", 1, 2, block_len, n, len(payloads))
     sizes_blob = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
     return head + sizes_blob + b"".join(payloads)
+
+
+DEFAULT_BP_CHUNK = 16384  # values per BP32 chunk (64 KiB of u32)
+
+
+def encode_bp_chunked(values: np.ndarray, chunk_len: int = DEFAULT_BP_CHUNK,
+                      use_tpu: bool | None = None) -> bytes:
+    """BP32 chunked container (flags bit 3): bit-plane-packed zigzag deltas.
+
+    The TPU-native integer codec (format: codec/bp_ref.py) — gather-free
+    parallel decode, unlike the LZ4 token walk. u32 full chunks run on device
+    when a TPU backend is up; u64 and tails use the threaded native codec.
+    Chunks restart deltas from 0, so they decode independently."""
+    from . import native
+
+    values = np.ascontiguousarray(values)
+    eb = values.dtype.itemsize
+    if eb not in (4, 8):
+        raise TypeError(values.dtype)
+    chunk_len = (chunk_len // 32) * 32 or 32
+    n = len(values)
+    payloads: list[bytes] = []
+    C = n // chunk_len
+    if use_tpu is None:
+        use_tpu = _tpu_available()
+    if use_tpu and eb == 4 and C > 0:
+        import jax.numpy as jnp
+
+        from .codec import bp_jax
+
+        mat, sizes = bp_jax.encode_bp32_chunks(
+            jnp.asarray(values[: C * chunk_len].reshape(C, chunk_len)))
+        mat, sizes = np.asarray(mat), np.asarray(sizes)
+        payloads = [rows_to_bytes(mat, sizes).tobytes()]
+        chunk_sizes = [int(s) for s in sizes]
+        tail = values[C * chunk_len :]
+        if len(tail):
+            if native.available():
+                tp = native.bp_encode_blocks(tail, chunk_len)[0]
+            else:
+                from .codec import bp_ref
+
+                tp = bp_ref.encode_chunk(tail)
+            chunk_sizes.append(len(tp))
+            payloads.append(tp)
+        flags = 8 | (1 if eb == 8 else 0)
+        head = struct.pack("<BBIII", 1, flags, chunk_len, n, len(chunk_sizes))
+        return head + struct.pack(f"<{len(chunk_sizes)}I", *chunk_sizes) \
+            + b"".join(payloads)
+    if native.available() and n:
+        payloads = native.bp_encode_blocks(values, chunk_len)
+    elif n:
+        from .codec import bp_ref
+
+        payloads = [bp_ref.encode_chunk(values[s : s + chunk_len])
+                    for s in range(0, n, chunk_len)]
+    flags = 8 | (1 if eb == 8 else 0)
+    head = struct.pack("<BBIII", 1, flags, chunk_len, n, len(payloads))
+    sizes_blob = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
+    return head + sizes_blob + b"".join(payloads)
+
+
+def decode_bp_chunked(data, use_tpu: bool | None = None) -> np.ndarray:
+    """Decode a BP32 chunked container → flat u32/u64 array."""
+    from . import native
+
+    data = bytes(data)
+    if len(data) < 14:
+        raise ValueError("truncated chunked container")
+    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1 or not flags & 8 or flags & 2:
+        raise ValueError("not a BP32 container")
+    eb = 8 if flags & 1 else 4
+    dt = np.uint32 if eb == 4 else np.uint64
+    off = 14
+    if off + 4 * n_chunks > len(data):
+        raise ValueError("truncated chunked container")
+    sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
+    off += 4 * n_chunks
+    if off + sum(sizes) > len(data):
+        raise ValueError("truncated chunked container")
+    if n_chunks == 0 or total == 0:
+        return np.zeros(total, dt)
+    counts = np.minimum(chunk_len,
+                        total - chunk_len * np.arange(n_chunks, dtype=np.int64))
+    if np.any(counts <= 0):
+        raise ValueError("corrupt BP32 container framing")
+    if use_tpu is None:
+        use_tpu = _tpu_available()
+    n_full = n_chunks - 1 if total % chunk_len else n_chunks
+    buf = np.frombuffer(data, np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
+    if use_tpu and eb == 4 and n_full > 0:
+        import jax.numpy as jnp
+
+        from .codec import bp_jax
+
+        B = bp_jax.bp32_max_chunk_bytes(chunk_len)
+        mat = bytes_to_rows(buf[offsets[0] : offsets[n_full]],
+                            np.asarray(sizes[:n_full], np.int64), B)
+        out = np.empty(total, dt)
+        out[: n_full * chunk_len] = np.asarray(
+            bp_jax.decode_bp32_chunks(jnp.asarray(mat), chunk_len)).reshape(-1)
+        for c in range(n_full, n_chunks):
+            out[c * chunk_len : c * chunk_len + counts[c]] = _bp_host_decode(
+                buf[offsets[c] : offsets[c + 1]], int(counts[c]), eb)
+        return out
+    if native.available():
+        return native.bp_decode_blocks(buf, offsets[:-1],
+                                       np.asarray(sizes, np.int64), counts, eb)
+    from .codec import bp_ref
+
+    out = np.empty(total, dt)
+    for c in range(n_chunks):
+        out[c * chunk_len : c * chunk_len + counts[c]] = bp_ref.decode_chunk(
+            buf[offsets[c] : offsets[c + 1]], int(counts[c]), eb * 8)
+    return out
+
+
+def _bp_host_decode(payload, n, eb):
+    from . import native
+
+    if native.available():
+        return native.bp_decode_blocks(payload, [0], [len(payload)], [n], eb)
+    from .codec import bp_ref
+
+    return bp_ref.decode_chunk(payload, n, eb * 8)
+
+
+def encode_int_best(arr: np.ndarray, block_len: int | None = None,
+                    use_tpu: bool | None = None) -> list[bytes]:
+    """Integer stream → the smaller of LZ4-byte-planes and BP32, as the
+    stream's substream payload list (always ``itemsize`` substreams, so
+    archive framing and skip logic are unchanged).
+
+    LZ4 wins on low-entropy repetitive data (colors); BP32 wins on
+    index-like data (triangle connectivity: −6% on the bunny vs the
+    reference scheme) and decodes gather-free on device. Self-describing
+    via each container's flags byte — the reader dispatches per substream."""
+    from .codec import transpose
+
+    arr = np.ascontiguousarray(arr)
+    lz4_subs = [encode_lz4_chunked(plane, block_len or DEFAULT_LZ4_BLOCK,
+                                   use_tpu=use_tpu)
+                for plane in transpose.byte_planes(arr)]
+    flat = arr.reshape(-1)
+    if flat.dtype.itemsize in (4, 8):
+        bp = encode_bp_chunked(flat, use_tpu=use_tpu)
+        # empty BP32 placeholder containers keep the substream count fixed
+        bit0 = 1 if flat.dtype.itemsize == 8 else 0
+        placeholder = struct.pack("<BBIII", 1, 8 | bit0, DEFAULT_BP_CHUNK, 0, 0)
+        bp_total = len(bp) + (arr.dtype.itemsize - 1) * len(placeholder)
+        if bp_total < sum(len(s) for s in lz4_subs):
+            return [bp] + [placeholder] * (arr.dtype.itemsize - 1)
+    return lz4_subs
 
 
 def decode_lz4_chunked(data) -> np.ndarray:

@@ -101,6 +101,10 @@ def get_lib():
         lib.tt_lz4_emit.argtypes = [p, i64, p, p, p, i64]
         lib.tt_lz4_emit_blocks.restype = i64
         lib.tt_lz4_emit_blocks.argtypes = [p, p, i64, i64, p, p, p, i64, p]
+        lib.tt_bp_encode_blocks.restype = i64
+        lib.tt_bp_encode_blocks.argtypes = [p, i64, p, p, i64, p, i64, p]
+        lib.tt_bp_decode_blocks.restype = i64
+        lib.tt_bp_decode_blocks.argtypes = [p, p, p, i64, p, i64, p, p]
         lib.tt_fp32_pack_chunks.restype = i64
         lib.tt_fp32_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
         lib.tt_fp32_parse_chunks.restype = i64
@@ -443,6 +447,48 @@ def lz4_emit_blocks(blocks: np.ndarray, offsets: np.ndarray,
     out = [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(C)]
     if tail is not None and len(tail):
         out.append(lz4_compress(tail))
+    return out
+
+
+def bp_encode_blocks(values: np.ndarray, chunk_len: int) -> list[bytes]:
+    """BP32-encode a flat u32/u64 stream as independent ``chunk_len``-value
+    chunks across hardware threads (format: codec/bp_ref.py)."""
+    lib = get_lib()
+    values = np.ascontiguousarray(values)
+    eb = values.dtype.itemsize
+    assert eb in (4, 8), values.dtype
+    n = len(values)
+    n_blocks = max((n + chunk_len - 1) // chunk_len, 1)
+    src_off = np.arange(n_blocks, dtype=np.int64) * chunk_len
+    src_n = np.minimum(chunk_len, n - src_off)
+    ng = (min(chunk_len, n) + 31) // 32
+    cap = ng + 4 * eb * 8 * ng
+    dst = np.empty(n_blocks * cap, np.uint8)
+    out_sz = np.zeros(n_blocks, np.int64)
+    rc = lib.tt_bp_encode_blocks(_ptr(values.view(np.uint8)), eb,
+                                 _ptr(src_off), _ptr(src_n), n_blocks,
+                                 _ptr(dst), cap, _ptr(out_sz))
+    if rc != 0:
+        raise RuntimeError(f"bp encode failed at block {-rc - 1}")
+    return [dst[i * cap : i * cap + out_sz[i]].tobytes() for i in range(n_blocks)]
+
+
+def bp_decode_blocks(data, src_offsets, src_sizes, dst_counts,
+                     elem_bytes: int) -> np.ndarray:
+    """Decode independent BP32 chunks in parallel → flat u32/u64 array."""
+    lib = get_lib()
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data)
+    src_off = np.ascontiguousarray(src_offsets, np.int64)
+    src_sz = np.ascontiguousarray(src_sizes, np.int64)
+    dst_n = np.ascontiguousarray(dst_counts, np.int64)
+    dst_off = np.concatenate([[0], np.cumsum(dst_n)[:-1]]).astype(np.int64)
+    out = np.empty(int(dst_n.sum()), np.uint32 if elem_bytes == 4 else np.uint64)
+    rc = lib.tt_bp_decode_blocks(_ptr(buf), _ptr(src_off), _ptr(src_sz),
+                                 len(src_sz), _ptr(out.view(np.uint8)),
+                                 elem_bytes, _ptr(dst_off), _ptr(dst_n))
+    if rc != 0:
+        raise ValueError(f"corrupt BP32 chunk {-rc - 1}")
     return out
 
 

@@ -1580,6 +1580,138 @@ EXPORT int64_t tt_lz4_compress_blocks(const uint8_t* src, const int64_t* src_off
   return -err.load();
 }
 
+// ---------------------------------------------------------------------------
+// BP32: bit-plane-packed zigzag-delta integer codec (format: bp_ref.py).
+// The TPU-native integer coder for index-like streams — groups of 32 values
+// share a bit width, each group stored as `width` 32-bit bit-planes (bit j of
+// plane b = bit b of the group's j-th zigzag delta). Parallel-decodable by
+// construction (plane offsets are a cumsum of the width header), unlike the
+// LZ4 token walk it replaces (reference lz4.c:1658). Host mirror of the
+// device kernels in trico_tpu/codec/bp_jax.py; chunks are independent
+// (deltas restart from 0), so blocks thread like every other batch codec.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int64_t BP_GROUP = 32;
+
+template <class U, class S>
+int64_t bp_encode_one(const U* src, int64_t n, uint8_t* dst, int64_t cap) {
+  constexpr int WB = int(sizeof(U)) * 8;
+  int64_t n_groups = (n + BP_GROUP - 1) / BP_GROUP;
+  if (cap < n_groups + 4 * WB * n_groups) return -1;
+  uint8_t* widths = dst;
+  uint8_t* op = dst + n_groups;
+  U prev = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    U z[BP_GROUP] = {0};
+    int64_t lo = g * BP_GROUP;
+    int64_t hi = std::min(n, lo + BP_GROUP);
+    U zmax = 0;
+    for (int64_t i = lo; i < hi; ++i) {
+      U d = U(src[i] - prev);
+      prev = src[i];
+      U zz = U(d << 1) ^ U(S(d) >> (WB - 1));
+      z[i - lo] = zz;
+      zmax |= zz;  // OR-reduction has the same top bit as max
+    }
+    int w = 0;
+    while (zmax) {
+      ++w;
+      zmax >>= 1;
+    }
+    widths[g] = uint8_t(w);
+    for (int b = 0; b < w; ++b) {
+      uint32_t plane = 0;
+      for (int j = 0; j < BP_GROUP; ++j)
+        plane |= uint32_t((z[j] >> b) & 1) << j;
+      std::memcpy(op, &plane, 4);
+      op += 4;
+    }
+  }
+  return op - dst;
+}
+
+template <class U>
+int64_t bp_decode_one(const uint8_t* src, int64_t src_n, U* dst, int64_t n) {
+  constexpr int WB = int(sizeof(U)) * 8;
+  int64_t n_groups = (n + BP_GROUP - 1) / BP_GROUP;
+  if (src_n < n_groups) return -1;
+  const uint8_t* widths = src;
+  const uint8_t* ip = src + n_groups;
+  const uint8_t* iend = src + src_n;
+  U prev = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    int w = widths[g];
+    if (w > WB || ip + 4 * w > iend) return -1;
+    U z[BP_GROUP] = {0};
+    for (int b = 0; b < w; ++b) {
+      uint32_t plane;
+      std::memcpy(&plane, ip, 4);
+      ip += 4;
+      for (int j = 0; j < BP_GROUP; ++j)
+        z[j] |= U((plane >> j) & 1) << b;
+    }
+    int64_t lo = g * BP_GROUP;
+    int64_t hi = std::min(n, lo + BP_GROUP);
+    for (int64_t i = lo; i < hi; ++i) {
+      U zz = z[i - lo];
+      U d = U(zz >> 1) ^ U(U(0) - (zz & 1));
+      prev = U(prev + d);
+      dst[i] = prev;
+    }
+  }
+  return n;
+}
+
+}  // namespace
+
+// Batch BP32 encode: block i spans src elements [src_off[i], src_off[i]+src_n[i])
+// of a u32 (elem_bytes=4) or u64 (elem_bytes=8) array; each block writes into
+// its own cap_per_block slice of dst, out_sz[i] gets the payload size.
+EXPORT int64_t tt_bp_encode_blocks(const uint8_t* src, int64_t elem_bytes,
+                                   const int64_t* src_off, const int64_t* src_n,
+                                   int64_t n_blocks, uint8_t* dst,
+                                   int64_t cap_per_block, int64_t* out_sz) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t b) {
+    if (err.load(std::memory_order_relaxed)) return;
+    int64_t sz;
+    if (elem_bytes == 4)
+      sz = bp_encode_one<uint32_t, int32_t>(
+          reinterpret_cast<const uint32_t*>(src) + src_off[b], src_n[b],
+          dst + b * cap_per_block, cap_per_block);
+    else
+      sz = bp_encode_one<uint64_t, int64_t>(
+          reinterpret_cast<const uint64_t*>(src) + src_off[b], src_n[b],
+          dst + b * cap_per_block, cap_per_block);
+    if (sz < 0) err.store(b + 1, std::memory_order_relaxed);
+    else out_sz[b] = sz;
+  });
+  return -err.load();
+}
+
+EXPORT int64_t tt_bp_decode_blocks(const uint8_t* src, const int64_t* src_off,
+                                   const int64_t* src_sz, int64_t n_blocks,
+                                   uint8_t* dst, int64_t elem_bytes,
+                                   const int64_t* dst_off, const int64_t* dst_n) {
+  std::atomic<int64_t> err{0};
+  par_chunks(n_blocks, [&](int64_t b) {
+    if (err.load(std::memory_order_relaxed)) return;
+    int64_t rc;
+    if (elem_bytes == 4)
+      rc = bp_decode_one<uint32_t>(
+          src + src_off[b], src_sz[b],
+          reinterpret_cast<uint32_t*>(dst) + dst_off[b], dst_n[b]);
+    else
+      rc = bp_decode_one<uint64_t>(
+          src + src_off[b], src_sz[b],
+          reinterpret_cast<uint64_t*>(dst) + dst_off[b], dst_n[b]);
+    if (rc < 0) err.store(b + 1, std::memory_order_relaxed);
+  });
+  return -err.load();
+}
+
 // Spin the pool up and fault-in the calling thread's arenas. Loaders call
 // this once right after dlopen so one-shot CLI encodes are not dominated by
 // thread spawn + first-touch page faults.

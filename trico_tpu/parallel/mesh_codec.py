@@ -347,8 +347,10 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
 
     def add_lz4_stream(st: StreamType, arr, count: int):
         parts.append(struct.pack("<BI", int(st), count))
-        for plane in transpose.byte_planes(arr):
-            payload = _chunked.encode_lz4_chunked(plane)
+        # pick-best integer coding: BP32 (TPU-native bit-plane codec, device
+        # encode + sharded gather-free decode) vs LZ4 byte planes — smaller
+        # wins, self-describing per substream (chunked.encode_int_best)
+        for payload in _chunked.encode_int_best(arr):
             parts.append(struct.pack("<I", len(payload)))
             parts.append(payload)
 
@@ -456,6 +458,26 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
             ftype = np.float32 if bits == 32 else np.float64
             arr = transpose.soa_to_aos(planes).view(ftype).reshape(-1, width) \
                 if width > 1 else planes[0].view(ftype)
+            r._advance_stream_type()
+            out[names.get(st, st.name)] = arr
+        elif st in _LZ4_STREAMS:
+            nplanes, dtype, mult = _LZ4_STREAMS[st]
+            count = r._read_u32()
+            subs = [bytes(r._read_sub()) for _ in range(nplanes)]
+            hdr = _chunked.parse_container_header(subs[0]) if subs else None
+            if hdr is not None and hdr.kind == "bp":
+                # BP32 stream: sharded gather-free decode over the mesh
+                arr = decode_bp_sharded(subs[0], mesh).astype(dtype, copy=False)
+            else:
+                # LZ4 token walk is sequential by nature (lz4.c:1658): blocks
+                # decode on host threads (tt_lz4_decompress_blocks)
+                planes = [_chunked.decode_lz4_chunked(s) for s in subs]
+                arr = (planes[0].view(dtype) if nplanes == 1
+                       else transpose.from_byte_planes(planes, dtype))
+            if len(arr) != count * mult:
+                raise ValueError("integer substream count mismatch")
+            if mult == 3:
+                arr = arr.reshape(-1, 3)
             r._advance_stream_type()
             out[names.get(st, st.name)] = arr
         else:
@@ -571,6 +593,61 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
 def decode_vertices_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
     """Back-compat alias for :func:`decode_plane_sharded` (f32 era name)."""
     return decode_plane_sharded(container, mesh)
+
+
+def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
+    """Collective-free distributed decode of one BP32 chunked container.
+
+    Same shape as :func:`decode_plane_sharded`: host parses the framing,
+    scatters the padded payload matrix over the mesh's chunk axis, every
+    device decodes its chunks with zero communication (the bit-plane parse is
+    closed-form — bp_jax.decode_bp32_chunks), host decodes the ragged tail.
+    u64 containers fall back to the threaded host codec (no device u64 path).
+    """
+    from .. import chunked as _chunked
+    from ..codec import bp_jax
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    data = bytes(container)
+    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1 or not flags & 8 or flags & 2:
+        raise ValueError("expected a BP32 chunked container")
+    if flags & 1:  # u64: host threads
+        return _chunked.decode_bp_chunked(data, use_tpu=False)
+    sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
+    off = 14 + 4 * n_chunks
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
+    if n_chunks == 0 or total == 0:
+        return np.zeros(total, np.uint32)
+    n_full = n_chunks - 1 if total % chunk_len else n_chunks
+    out = np.empty(total, np.uint32)
+    if n_full:
+        B = bp_jax.bp32_max_chunk_bytes(chunk_len)
+        buf = np.frombuffer(data, np.uint8)
+        mat = _chunked.bytes_to_rows(
+            buf[offsets[0] : offsets[n_full]],
+            np.asarray(sizes[:n_full], np.int64), B)
+        Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
+        sub = np.zeros((Cp, B), np.uint8)
+        sub[:n_full] = mat
+        dec = jax.shard_map(
+            lambda m: bp_jax.decode_bp32_chunks(m, chunk_len),
+            mesh=mesh,
+            in_specs=P("chunks", None),
+            out_specs=P("chunks", None),
+            check_vma=False,  # Pallas out_shapes carry no vma; see above
+        )
+        vals = _gather_to_host(
+            jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None))))[:n_full]
+        out[: n_full * chunk_len] = vals.reshape(-1)
+    for c in range(n_full, n_chunks):
+        n_tail = total - c * chunk_len
+        out[c * chunk_len :] = _chunked._bp_host_decode(
+            np.frombuffer(data, np.uint8)[offsets[c] : offsets[c + 1]],
+            n_tail, 4)
+    return out
 
 
 def roundtrip_step(values, chunk_len: int, mesh: Mesh, e1: int = 4, e2: int = 10):
