@@ -58,7 +58,7 @@ payloads, sizes = fp_jax.encode_f32_chunks_v2(x, E1, E2)
 jax.block_until_ready((payloads, sizes))
 
 # reps sized so total kernel time >> the tunnel's fixed block_until_ready
-# sync latency (~10-15 ms): 10 reps at 8M values under-reported by ~30%
+# sync latency (~10-15 ms): 10 reps at 8M values under-reported by ~30 percent
 # (VERDICT r3 weak #1 was entirely this measurement artifact)
 reps = max(10, int(1.5e9 // (C * chunk_len * 4)) + 1)
 t0 = time.perf_counter()
@@ -113,7 +113,7 @@ canary = bool(jnp.all(fp_jax.decode_f32_chunks_v2(pc, Lc, E1, E2) == xc))
 # stream (14M vertices x xyz); 300M values ~ a 100M-point cloud (BASELINE
 # config #5). Reps are sized so total kernel time >> the tunnel's fixed
 # block_until_ready sync latency (~10-15 ms): single-rep timing at 42M
-# under-reported by ~35% and was the whole "Lucy-size perf dip" of
+# under-reported by ~35 percent and was the whole "Lucy-size perf dip" of
 # VERDICT r3 weak #1 (re-measured: 42M runs 5.1+ GB/s with amortized reps,
 # monotone in size).
 scale = {}
@@ -179,7 +179,7 @@ try:
     BPL = 16384
     Ct = (3 * nt) // BPL
     ti = jnp.arange(Ct * BPL, dtype=jnp.uint32)
-    tflat = ((ti // 3) + (ti % 3) * 7 + (ti % 1024)).astype(jnp.uint32)
+    tflat = ((ti // 3) + (ti %% 3) * 7 + (ti %% 1024)).astype(jnp.uint32)
     tchunks = tflat.reshape(Ct, BPL)
     del ti, tflat
     jax.block_until_ready((vchunks, tchunks))

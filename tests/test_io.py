@@ -194,3 +194,28 @@ def test_ply_double_vertices_truncate_to_float(tmp_path):
     mesh = ply.read_ply(p)
     assert mesh.vertices.dtype == np.float32
     np.testing.assert_array_equal(mesh.vertices, v.astype(np.float32))
+
+
+@pytest.mark.parametrize("storage", ["binary_le", "binary_be", "ascii"])
+def test_write_ply_storage_modes(tmp_path, bunny_vertices, bunny_triangles, storage):
+    """Writer generality parity with rply (rply.h:247-340): ascii and both
+    endiannesses round-trip bit-exactly (ascii floats via %.9g, which
+    repr-roundtrips every float32). The reference tools only write
+    binary-LE (ioply.c:244); this is a capability superset."""
+    from trico_tpu.io import ply
+
+    rng = np.random.default_rng(0)
+    verts = bunny_vertices[:5000]
+    tris = bunny_triangles[np.all(bunny_triangles < 5000, axis=1)][:4000]
+    colors = rng.integers(0, 2**32, len(verts), dtype=np.uint64).astype(np.uint32)
+    normals = (verts * 0.5 + 1).astype(np.float32)
+    p = tmp_path / f"m_{storage}.ply"
+    ply.write_ply(p, verts, vertex_normals=normals, vertex_colors=colors,
+                  triangles=tris, storage=storage)
+    out = ply.read_ply(p)
+    np.testing.assert_array_equal(out.vertices.view(np.uint32),
+                                  verts.view(np.uint32))
+    np.testing.assert_array_equal(out.triangles, tris)
+    np.testing.assert_array_equal(out.vertex_colors, colors)
+    np.testing.assert_array_equal(out.vertex_normals.view(np.uint32),
+                                  normals.view(np.uint32))

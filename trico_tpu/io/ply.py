@@ -233,23 +233,36 @@ def read_ply(path) -> PlyMesh:
 
 
 def write_ply(path, vertices, vertex_normals=None, vertex_colors=None,
-              triangles=None, texcoords=None):
-    """Binary little-endian PLY writer (layout parity with ioply.c:244-314)."""
+              triangles=None, texcoords=None, storage: str = "binary_le"):
+    """PLY writer (layout parity with ioply.c:244-314).
+
+    ``storage`` selects the PLY storage mode, matching rply's writer
+    generality (rply.h:247-340 — the reference *tools* only ever write
+    binary-LE, ioply.c:244): ``"binary_le"`` (default, fast path),
+    ``"binary_be"``, or ``"ascii"``.
+    """
+    if storage not in ("binary_le", "binary_be", "ascii"):
+        raise ValueError(f"unknown PLY storage mode {storage!r}")
+    fmt_name = {"binary_le": "binary_little_endian",
+                "binary_be": "binary_big_endian",
+                "ascii": "ascii"}[storage]
+    fe = ">" if storage == "binary_be" else "<"
     vertices = np.ascontiguousarray(vertices, dtype=np.float32).reshape(-1, 3)
     n = len(vertices)
     if n == 0:
         raise ValueError("PLY requires at least one vertex")
-    hdr = ["ply", "format binary_little_endian 1.0",
+    hdr = ["ply", f"format {fmt_name} 1.0",
            f"element vertex {n}",
            "property float x", "property float y", "property float z"]
-    vert_fields = [("xyz", "<f4", (3,))]
+    vert_fields = [("xyz", f"{fe}f4", (3,))]
     if vertex_normals is not None:
         hdr += ["property float nx", "property float ny", "property float nz"]
-        vert_fields.append(("n", "<f4", (3,)))
+        vert_fields.append(("n", f"{fe}f4", (3,)))
     if vertex_colors is not None:
         hdr += ["property uchar red", "property uchar green",
                 "property uchar blue", "property uchar alpha"]
-        vert_fields.append(("c", "<u4"))
+        # rgba bytes stay byte-ordered regardless of endianness
+        vert_fields.append(("c", "u1", (4,)))
     ntri = 0 if triangles is None else len(np.asarray(triangles).reshape(-1, 3))
     if ntri:
         hdr.append(f"element face {ntri}")
@@ -263,23 +276,62 @@ def write_ply(path, vertices, vertex_normals=None, vertex_colors=None,
     if vertex_normals is not None:
         vrec["n"] = np.ascontiguousarray(vertex_normals, dtype=np.float32).reshape(n, 3)
     if vertex_colors is not None:
-        vrec["c"] = np.ascontiguousarray(vertex_colors, dtype=np.uint32).reshape(n)
+        vrec["c"] = np.ascontiguousarray(vertex_colors, dtype=np.uint32) \
+            .reshape(n).view(np.uint8).reshape(n, 4)
+
+    tri = uv = None
+    if ntri:
+        tri = np.ascontiguousarray(triangles, dtype=np.int32).reshape(-1, 3)
+        if texcoords is not None:
+            uv = np.ascontiguousarray(texcoords, dtype=np.float32).reshape(ntri, 6)
 
     with open(path, "wb") as f:
         f.write(("\n".join(hdr) + "\n").encode("ascii"))
+        if storage == "ascii":
+            _write_ascii_body(f, vrec, vert_fields, tri, uv)
+            return
         f.write(vrec.tobytes())
         if ntri:
-            tri = np.ascontiguousarray(triangles, dtype=np.int32).reshape(-1, 3)
-            if texcoords is not None:
-                uv = np.ascontiguousarray(texcoords, dtype=np.float32).reshape(ntri, 6)
+            if uv is not None:
                 frec = np.zeros(ntri, dtype=np.dtype(
-                    [("c3", "u1"), ("idx", "<i4", (3,)), ("c6", "u1"), ("uv", "<f4", (6,))]))
+                    [("c3", "u1"), ("idx", f"{fe}i4", (3,)), ("c6", "u1"),
+                     ("uv", f"{fe}f4", (6,))]))
                 frec["c3"] = 3
                 frec["idx"] = tri
                 frec["c6"] = 6
                 frec["uv"] = uv
             else:
-                frec = np.zeros(ntri, dtype=np.dtype([("c3", "u1"), ("idx", "<i4", (3,))]))
+                frec = np.zeros(ntri, dtype=np.dtype(
+                    [("c3", "u1"), ("idx", f"{fe}i4", (3,))]))
                 frec["c3"] = 3
                 frec["idx"] = tri
             f.write(frec.tobytes())
+
+
+def _fmt_f32(a):
+    """repr-roundtrip float formatting column-wise (value-lossless ascii)."""
+    return np.char.mod("%.9g", a.astype(np.float64))
+
+
+def _write_ascii_body(f, vrec, vert_fields, tri, uv):
+    """Ascii PLY body: vectorized row formatting (no per-value Python loop)."""
+    cols = [_fmt_f32(vrec["xyz"][:, i]) for i in range(3)]
+    for name, *_ in vert_fields:
+        if name == "n":
+            cols += [_fmt_f32(vrec["n"][:, i]) for i in range(3)]
+        elif name == "c":
+            cols += [np.char.mod("%d", vrec["c"][:, i]) for i in range(4)]
+    body = cols[0]
+    for c in cols[1:]:
+        body = np.char.add(np.char.add(body, " "), c)
+    f.write(("\n".join(body) + "\n").encode("ascii"))
+    if tri is not None:
+        tcols = [np.full(len(tri), "3")]
+        tcols += [np.char.mod("%d", tri[:, i]) for i in range(3)]
+        if uv is not None:
+            tcols.append(np.full(len(tri), "6"))
+            tcols += [_fmt_f32(uv[:, i]) for i in range(6)]
+        trow = tcols[0]
+        for c in tcols[1:]:
+            trow = np.char.add(np.char.add(trow, " "), c)
+        f.write(("\n".join(trow) + "\n").encode("ascii"))
