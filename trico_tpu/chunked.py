@@ -118,9 +118,21 @@ def rows_to_bytes(mat: np.ndarray, sizes) -> np.ndarray:
     """Concatenate the first ``sizes[c]`` bytes of every row of a padded
     (C, B) payload matrix into one contiguous uint8 array — the vectorized
     replacement for ``b"".join(mat[c, :sizes[c]] for c)`` (a Python loop
-    that was ~10k iterations/plane at Lucy scale, VERDICT r3 weak #4)."""
+    that was ~10k iterations/plane at Lucy scale, VERDICT r3 weak #4).
+    Native threaded memcpy walk (~memory bandwidth); NumPy masked-gather
+    fallback (~0.4 GB/s) when the toolchain is unavailable."""
+    from . import native
+
     mat = np.ascontiguousarray(mat, np.uint8)
     sizes = np.asarray(sizes, np.int64)
+    if native.available():
+        lib = native.get_lib()
+        dst_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        out = np.empty(int(sizes.sum()), np.uint8)
+        lib.tt_rows_to_bytes(native._ptr(mat), mat.shape[0], mat.shape[1],
+                             native._ptr(sizes), native._ptr(dst_off),
+                             native._ptr(out))
+        return out
     mask = np.arange(mat.shape[1], dtype=np.int64)[None, :] < sizes[:, None]
     return mat[mask]  # row-major boolean gather == concatenation in order
 
@@ -128,7 +140,18 @@ def rows_to_bytes(mat: np.ndarray, sizes) -> np.ndarray:
 def bytes_to_rows(buf: np.ndarray, sizes, B: int) -> np.ndarray:
     """Inverse of :func:`rows_to_bytes`: scatter concatenated payloads into a
     zero-padded (C, B) matrix (row c gets ``sizes[c]`` bytes)."""
+    from . import native
+
     sizes = np.asarray(sizes, np.int64)
+    buf = np.ascontiguousarray(buf, np.uint8)
+    if native.available():
+        lib = native.get_lib()
+        src_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        mat = np.empty((len(sizes), B), np.uint8)
+        lib.tt_bytes_to_rows(native._ptr(buf), native._ptr(src_off),
+                             native._ptr(sizes), len(sizes), B,
+                             native._ptr(mat))
+        return mat
     mat = np.zeros((len(sizes), B), np.uint8)
     mask = np.arange(B, dtype=np.int64)[None, :] < sizes[:, None]
     mat[mask] = buf

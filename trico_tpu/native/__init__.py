@@ -105,6 +105,10 @@ def get_lib():
         lib.tt_bp_encode_blocks.argtypes = [p, i64, p, p, i64, p, i64, p]
         lib.tt_bp_decode_blocks.restype = i64
         lib.tt_bp_decode_blocks.argtypes = [p, p, p, i64, p, i64, p, p]
+        lib.tt_rows_to_bytes.restype = None
+        lib.tt_rows_to_bytes.argtypes = [p, i64, i64, p, p, p]
+        lib.tt_bytes_to_rows.restype = None
+        lib.tt_bytes_to_rows.argtypes = [p, p, p, i64, i64, p]
         lib.tt_fp32_pack_chunks.restype = i64
         lib.tt_fp32_pack_chunks.argtypes = [p, p, i64, i64, u32, u32, p, i64, p]
         lib.tt_fp32_parse_chunks.restype = i64
