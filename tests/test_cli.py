@@ -96,3 +96,40 @@ def test_module_entrypoints_run(tmp_path, bunny_path):
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, cwd="/root/repo")
     assert res.returncode == 0, res.stderr
     assert (tmp_path / "x.trc").exists()
+
+
+def test_cli_chunked_flag_roundtrip(tmp_path, bunny_path):
+    """--chunked writes a version-1 archive (adaptive exponents + BP32
+    pick-best) that decodes bit-exactly through the decoder CLI."""
+    from trico_tpu import cli
+    from trico_tpu.io import stl
+
+    out_trc = tmp_path / "b.trc"
+    assert cli.encoder_main(["-i", str(bunny_path), "-o", str(out_trc),
+                             "--chunked", "2048"]) == 0
+    import struct
+
+    ver = struct.unpack_from("<I", out_trc.read_bytes(), 4)[0]
+    assert ver == 1
+    out_stl = tmp_path / "b.stl"
+    assert cli.decoder_main(["-i", str(out_trc), "-o", str(out_stl)]) == 0
+    v0, t0 = stl.read_stl(bunny_path)
+    v1, t1 = stl.read_stl(out_stl)
+    np.testing.assert_array_equal(v1.view(np.uint32), v0.view(np.uint32))
+    np.testing.assert_array_equal(t1, t0)
+
+
+def test_cli_ply_storage_ascii(tmp_path, bunny_path):
+    from trico_tpu import cli
+    from trico_tpu.io import ply, stl
+
+    out_trc = tmp_path / "c.trc"
+    assert cli.encoder_main(["-i", str(bunny_path), "-o", str(out_trc)]) == 0
+    out_ply = tmp_path / "c.ply"
+    assert cli.decoder_main(["-i", str(out_trc), "-o", str(out_ply),
+                             "--ply-storage", "ascii"]) == 0
+    assert out_ply.read_bytes().splitlines()[1] == b"format ascii 1.0"
+    v0, _ = stl.read_stl(bunny_path)
+    mesh = ply.read_ply(out_ply)
+    np.testing.assert_array_equal(mesh.vertices.view(np.uint32),
+                                  v0.view(np.uint32))

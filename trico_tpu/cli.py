@@ -51,6 +51,11 @@ def encoder_main(argv=None) -> int:
                     help="skip the given PLY attribute")
     ap.add_argument("--backend", default="auto", choices=["auto", "native", "numpy", "jax"],
                     help="codec backend (default auto: native, falling back to numpy)")
+    ap.add_argument("--chunked", nargs="?", const=4096, type=int, default=None,
+                    metavar="CHUNK_LEN",
+                    help="write a version-1 chunk-parallel archive (adaptive "
+                         "exponents + BP32 pick-best integers; not readable "
+                         "by the reference library). Default chunk: 4096")
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
@@ -64,9 +69,9 @@ def encoder_main(argv=None) -> int:
 
     prof, stage = _stager(args.profile)
     use_native = args.backend in ("auto", "native")
-    if args.backend == "jax":
+    if args.backend == "jax" or args.chunked:
         # TPU chunk-parallel path → version-1 chunked archive
-        w = ArchiveWriter(chunk_len=4096)
+        w = ArchiveWriter(chunk_len=args.chunked or 4096)
     else:
         w = ArchiveWriter(use_native=use_native)
     if ext == ".stl":
@@ -121,6 +126,9 @@ def decoder_main(argv=None) -> int:
     )
     ap.add_argument("-i", dest="input", required=True, help="input .trc file")
     ap.add_argument("-o", dest="output", help="output .stl or .ply (default: by content)")
+    ap.add_argument("--ply-storage", default="binary_le",
+                    choices=["binary_le", "binary_be", "ascii"],
+                    help="PLY output storage mode (default binary_le)")
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
@@ -165,7 +173,8 @@ def decoder_main(argv=None) -> int:
 
     with stage("write_mesh"):
         if want_ply:
-            ply.write_ply(out, verts, vert_normals, colors, tris, uvs)
+            ply.write_ply(out, verts, vert_normals, colors, tris, uvs,
+                          storage=args.ply_storage)
         else:
             if tris is None:
                 tris = np.zeros((0, 3), np.uint32)
