@@ -530,6 +530,9 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported chunked container version {ver}")
     if flags & 2:
         raise ValueError("LZ4 container passed to decode_chunked")
+    if flags & 8:
+        raise ValueError("BP32 container passed to decode_chunked "
+                         "(use decode_bp_chunked)")
     bits = 64 if flags & 1 else 32
     layout = "tpu" if flags & 4 else "ref"
     off = 14
