@@ -117,34 +117,6 @@ xc = jax.lax.bitcast_convert_type(cv, jnp.uint32).reshape(Cc, Lc)
 pc, sc = fp_jax.encode_f32_chunks_v2(xc, E1, E2)
 canary = bool(jnp.all(fp_jax.decode_f32_chunks_v2(pc, Lc, E1, E2) == xc))
 
-json.dump({"gbps": gbps, "decode_gbps": dgbps,
-           "adaptive_encode_gbps": agbps,
-           "ratio": C * chunk_len * 4 / comp_bytes,
-           "adaptive_ratio": C * chunk_len * 4 / int(jnp.sum(sz_a)),
-           "chunk_len": chunk_len,
-           "miscompile_canary": canary,
-           "exact": exact and canary,
-           "backend": jax.default_backend()}, open(out_path, "w"))
-"""
-
-# Scale + whole-mesh runs live in a SECOND child with its own timeout: the
-# remote-compile tunnel gives no persistent cache, so each child pays its own
-# cold compiles; splitting keeps either child within one timeout budget and a
-# blown scale run can never void the headline numbers.
-CHILD_SCALE = r"""
-import json, os, sys, time
-import numpy as np
-
-out_path = sys.argv[1]
-chunk_len = int(sys.argv[3])
-
-import jax, jax.numpy as jnp
-sys.path.insert(0, %(repo)r)
-from trico_tpu.codec import fp_jax
-
-_ = int(jnp.zeros((1,), jnp.int32)[0])
-E1, E2 = 4, 6
-
 # SCALE RUNS (VERDICT r2 #8): HBM-filling sizes, generated on device (the
 # host tunnel is too slow for GB-scale H2D). 42M values ~ Lucy-class vertex
 # stream (14M vertices x xyz); 300M values ~ a 100M-point cloud (BASELINE
@@ -154,7 +126,7 @@ E1, E2 = 4, 6
 # VERDICT r3 weak #1 (re-measured: 42M runs 5.1+ GB/s with amortized reps,
 # monotone in size).
 scale = {}
-for label, nsc in (("lucy42M", 42 * 1024 * 1024), ("cloud300M", 300 * 1024 * 1024)):
+for label, nsc in (("lucy42M", 42 * 1024 * 1024),):
     try:
         key = jax.random.PRNGKey(0)
         step = jax.random.normal(key, (nsc,), jnp.float32) * 1e-3
@@ -261,8 +233,15 @@ try:
 except Exception as e:
     fullmesh = {"error": str(e)[:160]}
 
-json.dump({"scale": scale, "fullmesh": fullmesh},
-          open(out_path, "w"))
+json.dump({"gbps": gbps, "decode_gbps": dgbps,
+           "adaptive_encode_gbps": agbps,
+           "ratio": C * chunk_len * 4 / comp_bytes,
+           "adaptive_ratio": C * chunk_len * 4 / int(jnp.sum(sz_a)),
+           "chunk_len": chunk_len,
+           "miscompile_canary": canary,
+           "scale": scale, "fullmesh": fullmesh,
+           "exact": exact and canary,
+           "backend": jax.default_backend()}, open(out_path, "w"))
 """
 
 
@@ -383,11 +362,6 @@ def main():
         result = host_fallback(n_values)
     if result is None:
         result = {"gbps": 0.0, "ratio": 0.0, "exact": False, "backend": "none"}
-    elif result.get("backend") not in (None, "host-native"):
-        # scale + whole-mesh extras in their own child/timeout (a blown scale
-        # run never voids the headline); merged into extra when they land
-        extras = run_device_child(n_values, chunk_len, script_tpl=CHILD_SCALE)
-        result.update(extras or {"scale": {"error": "scale child timed out"}})
 
     # EXACTNESS GATE (VERDICT r1 #2): a lossless codec has no throughput when
     # it loses data. An inexact round-trip reports 0 GB/s, loudly.
