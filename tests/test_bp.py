@@ -162,3 +162,44 @@ def test_compress_mesh_uses_bp_and_roundtrips(bunny_vertices, bunny_triangles):
     np.testing.assert_array_equal(
         out["vertices"].view(np.uint32), bunny_vertices.view(np.uint32))
     np.testing.assert_array_equal(out["triangles"], bunny_triangles)
+
+
+def test_bp64_jax_matches_oracle():
+    rng = np.random.default_rng(11)
+    C, L = 2, 512
+    v = rng.integers(0, 2**64, C * L, dtype=np.uint64)
+    v[::5] = np.cumsum(rng.integers(0, 9, C * L))[::5].astype(np.uint64)
+    v = v.reshape(C, L)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pay, sz = bp_jax.encode_bp64_chunks(jnp.asarray(hi), jnp.asarray(lo))
+    pay, sz = np.asarray(pay), np.asarray(sz)
+    for c in range(C):
+        assert pay[c, : sz[c]].tobytes() == bp_ref.encode_chunk(v[c])
+    dh, dl = bp_jax.decode_bp64_chunks(jnp.asarray(pay), L)
+    back = ((np.asarray(dh).astype(np.uint64) << np.uint64(32))
+            | np.asarray(dl).astype(np.uint64))
+    np.testing.assert_array_equal(back, v)
+
+
+def test_bp64_container_device_matches_host():
+    v = _index_like(3 * 512 + 77).astype(np.uint64) * np.uint64(0x100000001)
+    a = chunked.encode_bp_chunked(v, chunk_len=512, use_tpu=True)
+    b = chunked.encode_bp_chunked(v, chunk_len=512, use_tpu=False)
+    assert a == b
+    for use_tpu in (True, False):
+        out = chunked.decode_bp_chunked(a, use_tpu=use_tpu)
+        np.testing.assert_array_equal(out, v)
+
+
+def test_bp64_sharded_decode():
+    import jax
+
+    from trico_tpu.parallel import mesh_codec
+
+    mesh = mesh_codec.make_mesh(min(4, len(jax.devices())))
+    v = _index_like(6 * 512 + 31).astype(np.uint64) * np.uint64(3_000_000_017)
+    blob = chunked.encode_bp_chunked(v, chunk_len=512)
+    out = mesh_codec.decode_bp_sharded(blob, mesh)
+    assert out.dtype == np.uint64
+    np.testing.assert_array_equal(out, v)

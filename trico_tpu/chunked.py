@@ -346,19 +346,29 @@ def encode_bp_chunked(values: np.ndarray, chunk_len: int = DEFAULT_BP_CHUNK,
     eb = values.dtype.itemsize
     if eb not in (4, 8):
         raise TypeError(values.dtype)
+    if eb == 8:
+        # BP64 device decode compacts 17-bit slot ids through the 32-bit
+        # log-shift word (sbits(8L) + sbits(8L) <= 32 ⇒ L <= 8192)
+        chunk_len = min(chunk_len, 8192)
     chunk_len = (chunk_len // 32) * 32 or 32
     n = len(values)
     payloads: list[bytes] = []
     C = n // chunk_len
     if use_tpu is None:
         use_tpu = _tpu_available()
-    if use_tpu and eb == 4 and C > 0:
+    if use_tpu and C > 0 and (eb == 4 or chunk_len <= 8192):
         import jax.numpy as jnp
 
         from .codec import bp_jax
 
-        mat, sizes = bp_jax.encode_bp32_chunks(
-            jnp.asarray(values[: C * chunk_len].reshape(C, chunk_len)))
+        full = values[: C * chunk_len].reshape(C, chunk_len)
+        if eb == 4:
+            mat, sizes = bp_jax.encode_bp32_chunks(jnp.asarray(full))
+        else:
+            hi = (full >> np.uint64(32)).astype(np.uint32)
+            lo = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            mat, sizes = bp_jax.encode_bp64_chunks(jnp.asarray(hi),
+                                                   jnp.asarray(lo))
         mat, sizes = np.asarray(mat), np.asarray(sizes)
         payloads = [rows_to_bytes(mat, sizes).tobytes()]
         chunk_sizes = [int(s) for s in sizes]
@@ -419,17 +429,24 @@ def decode_bp_chunked(data, use_tpu: bool | None = None) -> np.ndarray:
     n_full = n_chunks - 1 if total % chunk_len else n_chunks
     buf = np.frombuffer(data, np.uint8)
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
-    if use_tpu and eb == 4 and n_full > 0:
+    if use_tpu and n_full > 0 and (eb == 4 or chunk_len <= 8192):
         import jax.numpy as jnp
 
         from .codec import bp_jax
 
-        B = bp_jax.bp32_max_chunk_bytes(chunk_len)
+        B = (bp_jax.bp32_max_chunk_bytes(chunk_len) if eb == 4
+             else bp_jax.bp64_max_chunk_bytes(chunk_len))
         mat = bytes_to_rows(buf[offsets[0] : offsets[n_full]],
                             np.asarray(sizes[:n_full], np.int64), B)
         out = np.empty(total, dt)
-        out[: n_full * chunk_len] = np.asarray(
-            bp_jax.decode_bp32_chunks(jnp.asarray(mat), chunk_len)).reshape(-1)
+        if eb == 4:
+            vals = np.asarray(
+                bp_jax.decode_bp32_chunks(jnp.asarray(mat), chunk_len))
+        else:
+            vh, vl = bp_jax.decode_bp64_chunks(jnp.asarray(mat), chunk_len)
+            vals = ((np.asarray(vh).astype(np.uint64) << np.uint64(32))
+                    | np.asarray(vl).astype(np.uint64))
+        out[: n_full * chunk_len] = vals.reshape(-1)
         for c in range(n_full, n_chunks):
             out[c * chunk_len : c * chunk_len + counts[c]] = _bp_host_decode(
                 buf[offsets[c] : offsets[c + 1]], int(counts[c]), eb)

@@ -601,8 +601,8 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
     Same shape as :func:`decode_plane_sharded`: host parses the framing,
     scatters the padded payload matrix over the mesh's chunk axis, every
     device decodes its chunks with zero communication (the bit-plane parse is
-    closed-form — bp_jax.decode_bp32_chunks), host decodes the ragged tail.
-    u64 containers fall back to the threaded host codec (no device u64 path).
+    closed-form — bp_jax.decode_bp32/64_chunks), host decodes the ragged
+    tail. Covers both element widths (u64 rides (hi, lo) word pairs).
     """
     from .. import chunked as _chunked
     from ..codec import bp_jax
@@ -614,17 +614,20 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
     ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
     if ver != 1 or not flags & 8 or flags & 2:
         raise ValueError("expected a BP32 chunked container")
-    if flags & 1:  # u64: host threads
+    eb = 8 if flags & 1 else 4
+    if eb == 8 and chunk_len > 8192:  # BP64 device slot-id bit bound
         return _chunked.decode_bp_chunked(data, use_tpu=False)
+    dt = np.uint32 if eb == 4 else np.uint64
     sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
     off = 14 + 4 * n_chunks
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
     if n_chunks == 0 or total == 0:
-        return np.zeros(total, np.uint32)
+        return np.zeros(total, dt)
     n_full = n_chunks - 1 if total % chunk_len else n_chunks
-    out = np.empty(total, np.uint32)
+    out = np.empty(total, dt)
     if n_full:
-        B = bp_jax.bp32_max_chunk_bytes(chunk_len)
+        B = (bp_jax.bp32_max_chunk_bytes(chunk_len) if eb == 4
+             else bp_jax.bp64_max_chunk_bytes(chunk_len))
         buf = np.frombuffer(data, np.uint8)
         mat = _chunked.bytes_to_rows(
             buf[offsets[0] : offsets[n_full]],
@@ -632,21 +635,32 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
         Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
         sub = np.zeros((Cp, B), np.uint8)
         sub[:n_full] = mat
+        if eb == 4:
+            dec_fn = lambda m: bp_jax.decode_bp32_chunks(m, chunk_len)
+            specs = P("chunks", None)
+        else:
+            dec_fn = lambda m: bp_jax.decode_bp64_chunks(m, chunk_len)
+            specs = (P("chunks", None), P("chunks", None))
         dec = jax.shard_map(
-            lambda m: bp_jax.decode_bp32_chunks(m, chunk_len),
+            dec_fn,
             mesh=mesh,
             in_specs=P("chunks", None),
-            out_specs=P("chunks", None),
+            out_specs=specs,
             check_vma=False,  # Pallas out_shapes carry no vma; see above
         )
-        vals = _gather_to_host(
-            jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None))))[:n_full]
+        got = jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None)))
+        if eb == 4:
+            vals = _gather_to_host(got)[:n_full]
+        else:
+            vh = _gather_to_host(got[0])[:n_full].astype(np.uint64)
+            vl = _gather_to_host(got[1])[:n_full].astype(np.uint64)
+            vals = (vh << np.uint64(32)) | vl
         out[: n_full * chunk_len] = vals.reshape(-1)
     for c in range(n_full, n_chunks):
         n_tail = total - c * chunk_len
         out[c * chunk_len :] = _chunked._bp_host_decode(
             np.frombuffer(data, np.uint8)[offsets[c] : offsets[c + 1]],
-            n_tail, 4)
+            n_tail, eb)
     return out
 
 
