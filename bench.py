@@ -233,13 +233,62 @@ try:
 except Exception as e:
     fullmesh = {"error": str(e)[:160]}
 
+# F64 DEVICE PATH (VERDICT r3 #4): doubles at the VMEM-viable chunked
+# exponents (10,12) — the adaptive candidate that unlocks gather-free device
+# replay (fp64_jax.F64_TPU_CANDIDATES). 16M values = 128 MB of doubles,
+# carried as (hi, lo) u32 word pairs.
+f64 = {}
+try:
+    from trico_tpu.codec import fp64_jax
+
+    # true float64 data must come from the host (jnp demotes f64 without
+    # x64 mode); ~128 MB H2D once, untimed
+    n64 = 16 * 1024 * 1024
+    rh = np.random.default_rng(3)
+    vv = (np.cumsum(rh.normal(0, 1e-3, n64))
+          + np.sin(np.linspace(0., 3000., n64)) * 10)
+    w64 = vv.view(np.uint64)
+    hi64 = jnp.asarray((w64 >> np.uint64(32)).astype(np.uint32)
+                       .reshape(n64 // chunk_len, chunk_len))
+    lo64 = jnp.asarray((w64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                       .reshape(n64 // chunk_len, chunk_len))
+    del vv, w64
+    jax.block_until_ready((hi64, lo64))
+    E1_64, E2_64 = 10, 12
+    p64, s64 = fp64_jax.encode_f64_chunks_v2(hi64, lo64, E1_64, E2_64)
+    jax.block_until_ready(p64)
+    r64 = max(2, int(1.5e9 // (n64 * 8)) + 1)
+    t0 = time.perf_counter()
+    for _ in range(r64):
+        p64, s64 = fp64_jax.encode_f64_chunks_v2(hi64, lo64, E1_64, E2_64)
+    jax.block_until_ready(p64)
+    e64_dt = (time.perf_counter() - t0) / r64
+    dh, dl = fp64_jax.decode_f64_chunks_v2(p64, chunk_len, E1_64, E2_64)
+    jax.block_until_ready((dh, dl))
+    t0 = time.perf_counter()
+    for _ in range(r64):
+        dh, dl = fp64_jax.decode_f64_chunks_v2(p64, chunk_len, E1_64, E2_64)
+    jax.block_until_ready((dh, dl))
+    d64_dt = (time.perf_counter() - t0) / r64
+    f64 = {
+        "n_values": n64, "exponents": [E1_64, E2_64],
+        "encode_gbps": round(n64 * 8 / 1e9 / e64_dt, 3),
+        "decode_gbps": round(n64 * 8 / 1e9 / d64_dt, 3),
+        "ratio": round(n64 * 8 / int(jnp.sum(s64)), 4),
+        "exact": bool(jnp.all(dh == hi64) & jnp.all(dl == lo64)),
+        "reps": r64,
+    }
+    del hi64, lo64, p64, s64, dh, dl
+except Exception as e:
+    f64 = {"error": str(e)[:160]}
+
 json.dump({"gbps": gbps, "decode_gbps": dgbps,
            "adaptive_encode_gbps": agbps,
            "ratio": C * chunk_len * 4 / comp_bytes,
            "adaptive_ratio": C * chunk_len * 4 / int(jnp.sum(sz_a)),
            "chunk_len": chunk_len,
            "miscompile_canary": canary,
-           "scale": scale, "fullmesh": fullmesh,
+           "scale": scale, "fullmesh": fullmesh, "f64": f64,
            "exact": exact and canary,
            "backend": jax.default_backend()}, open(out_path, "w"))
 """

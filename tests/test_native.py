@@ -114,3 +114,47 @@ def test_pool_concurrent_python_threads():
         with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
             got = list(ex.map(job, range(8)))
         assert got == serial
+
+
+@pytest.mark.parametrize("dt", [np.uint32, np.uint64])
+def test_bp_blocks_roundtrip_native(dt):
+    """BP32/64 native batch codec round-trip (sanitizer-covered surface)."""
+    from trico_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 2 ** (dt().itemsize * 8 - 1), 33333,
+                     dtype=np.uint64).astype(dt)
+    chunks = native.bp_encode_blocks(v, 8192)
+    sizes = np.array([len(c) for c in chunks], np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    cnts = np.minimum(8192, len(v) - np.arange(len(chunks)) * 8192)
+    out = native.bp_decode_blocks(b"".join(chunks), offs, sizes, cnts,
+                                  dt().itemsize)
+    np.testing.assert_array_equal(out, v)
+    # corrupt width byte must error, not crash
+    bad = bytearray(chunks[0])
+    bad[1] = 200
+    with pytest.raises(ValueError):
+        native.bp_decode_blocks(bytes(bad), [0], [len(bad)], [8192],
+                                dt().itemsize)
+
+
+def test_rows_bytes_moves_native():
+    """tt_rows_to_bytes / tt_bytes_to_rows vs the NumPy mask formulation."""
+    from trico_tpu import chunked, native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    C, B = 137, 4093
+    mat = rng.integers(0, 255, (C, B), dtype=np.uint64).astype(np.uint8)
+    sizes = rng.integers(0, B + 1, C).astype(np.int64)
+    out = chunked.rows_to_bytes(mat, sizes)
+    mask = np.arange(B)[None, :] < sizes[:, None]
+    np.testing.assert_array_equal(out, mat[mask])
+    back = chunked.bytes_to_rows(out, sizes, B)
+    want = np.zeros((C, B), np.uint8)
+    want[mask] = out
+    np.testing.assert_array_equal(back, want)
