@@ -398,19 +398,30 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
     return b"".join(parts)
 
 
-def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
+def decompress_mesh(blob, mesh: Mesh | None = None,
+                    route_stats: dict | None = None) -> dict:
     """Distributed decode of a v1 archive produced by :func:`compress_mesh`.
 
-    Walks the self-describing framing on the host, routes every chunked f32
-    tpu-layout container through :func:`decode_vertices_sharded` (data-
-    parallel, collective-free) and everything else through the host/devices
-    codec, and reassembles interleaved arrays. Returns a dict keyed by
+    Walks the self-describing framing on the host, routes every chunked FP
+    tpu-layout container (f32 and f64) through :func:`decode_plane_sharded`
+    and BP32/64 integer containers through :func:`decode_bp_sharded` (both
+    data-parallel, collective-free), LZ4-kind containers through the
+    threaded host codec (the LZ4 token walk is sequential by construction —
+    lz4.c:1658), and reassembles interleaved arrays. Returns a dict keyed by
     stream name (``vertices``, ``triangles``, ``vertex_normals``,
     ``vertex_colors``, ``uv_per_vertex``, ...).
+
+    ``route_stats`` (optional dict) is filled with per-route substream
+    counts: ``sharded_fp`` / ``sharded_bp`` / ``host_lz4`` / ``host_other``
+    — the dryrun asserts sharded coverage from it.
     """
     from ..archive import _FP_STREAMS, _LZ4_STREAMS, ArchiveReader, StreamType
     from ..codec import transpose
 
+    if route_stats is None:
+        route_stats = {}
+    for k in ("sharded_fp", "sharded_bp", "host_lz4", "host_other"):
+        route_stats.setdefault(k, 0)
     if mesh is None:
         mesh = make_mesh()
     r = ArchiveReader(blob)
@@ -450,8 +461,10 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
                 if (hdr is not None and hdr.kind == "fp"
                         and hdr.layout == "tpu" and hdr.bits == bits):
                     planes.append(decode_plane_sharded(payload, mesh))
+                    route_stats["sharded_fp"] += 1
                 else:
                     planes.append(_chunked.decode_chunked(payload)[0])
+                    route_stats["host_other"] += 1
             for p in planes:
                 if len(p) != count:
                     raise ValueError("substream count mismatch")
@@ -468,12 +481,14 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
             if hdr is not None and hdr.kind == "bp":
                 # BP32 stream: sharded gather-free decode over the mesh
                 arr = decode_bp_sharded(subs[0], mesh).astype(dtype, copy=False)
+                route_stats["sharded_bp"] += 1
             else:
                 # LZ4 token walk is sequential by nature (lz4.c:1658): blocks
                 # decode on host threads (tt_lz4_decompress_blocks)
                 planes = [_chunked.decode_lz4_chunked(s) for s in subs]
                 arr = (planes[0].view(dtype) if nplanes == 1
                        else transpose.from_byte_planes(planes, dtype))
+                route_stats["host_lz4"] += 1
             if len(arr) != count * mult:
                 raise ValueError("integer substream count mismatch")
             if mult == 3:
@@ -483,6 +498,7 @@ def decompress_mesh(blob, mesh: Mesh | None = None) -> dict:
         else:
             st, arr = r.read_stream()
             out[names.get(st, st.name)] = arr
+            route_stats["host_other"] += 1
     return out
 
 
