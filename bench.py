@@ -234,7 +234,7 @@ except Exception as e:
     fullmesh = {"error": str(e)[:160]}
 
 # F64 DEVICE PATH (VERDICT r3 #4): doubles at the VMEM-viable chunked
-# exponents (10,12) — the adaptive candidate that unlocks gather-free device
+# exponents (4,6) — the adaptive candidate that unlocks gather-free device
 # replay (fp64_jax.F64_TPU_CANDIDATES). 16M values = 128 MB of doubles,
 # carried as (hi, lo) u32 word pairs.
 f64 = {}
@@ -254,7 +254,7 @@ try:
                        .reshape(n64 // chunk_len, chunk_len))
     del vv, w64
     jax.block_until_ready((hi64, lo64))
-    E1_64, E2_64 = 10, 12
+    E1_64, E2_64 = 4, 6
     p64, s64 = fp64_jax.encode_f64_chunks_v2(hi64, lo64, E1_64, E2_64)
     jax.block_until_ready(p64)
     r64 = max(2, int(1.5e9 // (n64 * 8)) + 1)

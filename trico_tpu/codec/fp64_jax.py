@@ -483,17 +483,18 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
     return _map_row_blocks(enc, 2 * hi.shape[1], hi, lo)
 
 
-# Adaptive per-chunk f64 exponent candidates. (10,12) keeps both one-hot
-# tables VMEM-viable (1024+4096 rows ≤ the 2^13 device-replay bound in
-# chunked.decode_chunked), unlocking gather-free DEVICE decode for the chunks
-# that pick it; (20,20) is the reference default (trico.c:396), which wins
-# big on f32-widened meshes (its 2^20-row tables memorize the sparse mantissa
-# patterns; measured +10.6% for (10,12) on bunny64_y) and decodes on host
-# threads. Corpus measurement (bunny64 x/y/z widened, random-walk, stride,
-# quantized-grid, geodetic doubles): (10,12) is within noise of every other
-# VMEM-viable pair and beats (20,20) on all true-double streams by 0-1.5%.
-# (10,12) is FIRST so equal-size chunks take the device-decodable exponents.
-F64_TPU_CANDIDATES = ((10, 12), (20, 20))
+# Adaptive per-chunk f64 exponent candidates. (4,6) keeps the one-hot tables
+# tiny (16+64 rows — same replay cost per word as the f32 default), so
+# device decode runs at full speed; (20,20) is the reference default
+# (trico.c:396), which wins big on f32-widened meshes (its 2^20-row tables
+# memorize the sparse mantissa patterns; measured +11% for small tables on
+# bunny64_y) and decodes on host threads. Corpus measurement (bunny64 x/y/z
+# widened, random-walk, stride, quantized-grid, geodetic doubles): (4,6) is
+# within 0.1% of (10,12)/(12,12)/(14,14) on every stream — larger
+# VMEM-viable tables buy nothing on doubles, and (10,12)'s 5120-row one-hot
+# replay measured 0.25 GB/s on device vs the small-table kernel's multi-GB/s.
+# (4,6) is FIRST so equal-size chunks take the fast device-decodable pair.
+F64_TPU_CANDIDATES = ((4, 6), (20, 20))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
