@@ -181,3 +181,19 @@ def test_logshift_pallas_interpret_matches_xla(direction, S):
     want = fp_jax._logshift_passes(w, pb, S, direction) & jnp.uint32((1 << pb) - 1)
     got = fp_pallas.logshift_pallas(w, pb, direction, True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("e1,e2", [(4, 6), (4, 10)])
+def test_replay64_interpret_roundtrip(e1, e2):
+    """f64 encode (scan predictor) -> Pallas replay64 (interpret) must
+    reproduce the input, incl. across the 1024-row slab boundary."""
+    from trico_tpu.codec import fp64_jax
+
+    C, L = 3, 2048
+    vals = mesh_like_floats(C * L, seed=9, dtype=np.float64).view(np.uint64)
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32).reshape(C, L))
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(C, L))
+    bc, rh, rl = fp64_jax.predict_f64_chunks(hi, lo, e1, e2)
+    vh, vl = fp_pallas.replay64_pallas(bc, rh, rl, e1, e2, True)
+    np.testing.assert_array_equal(np.asarray(vh), np.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(vl), np.asarray(lo))

@@ -186,7 +186,19 @@ def _bcode_res_from_xors64(x1h, x1l, x2h, x2l):
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def replay_f64_chunks(bcodes: jax.Array, xhi: jax.Array, xlo: jax.Array,
                       e1: int = 20, e2: int = 20):
-    """Decode replay: parsed (C, L) (bcode, xor hi/lo) → value hi/lo words."""
+    """Decode replay: parsed (C, L) (bcode, xor hi/lo) → value hi/lo words.
+
+    VMEM Pallas kernel on real TPUs when the four hash tables fit (the
+    (4,6) chunked default: measured 0.87 → multi-GB/s); XLA scan elsewhere.
+    Bit-identical either way."""
+    from .fp_jax import _use_pallas
+
+    e1n, e2n = _norm_exponents(e1, e2)
+    if (_use_pallas() and xhi.shape[1] % 1024 in (0, xhi.shape[1])
+            and 2 * ((1 << e1n) + (1 << e2n)) <= (1 << 13)):
+        from . import fp_pallas
+
+        return fp_pallas.replay64_pallas(bcodes, xhi, xlo, e1, e2)
     e1, e2 = _norm_exponents(e1, e2)
     C, L = xhi.shape
     T1, T2 = 1 << e1, 1 << e2

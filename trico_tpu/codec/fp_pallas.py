@@ -332,6 +332,103 @@ def predict_xors_pallas(values: jax.Array, e1: int, e2: int, interpret: bool = F
     return xor1T[:, :C].T, xor2T[:, :C].T
 
 
+def _replay64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
+                     xh_ref, xl_ref, bc_ref, vh_ref, vl_ref,
+                     t1h_ref, t1l_ref, t2h_ref, t2l_ref, st_ref):
+    """f64 decode replay slab: tables + scalar carries persist across the
+    inner (slab) grid dimension via scratch; semantics mirror
+    fp64_jax.replay_f64_chunks (reference fps.c:803-1164)."""
+    j = pl.program_id(1)
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+
+    @pl.when(j == 0)
+    def _init():
+        t1h_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t1l_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t2h_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        t2l_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        st_ref[:] = jnp.zeros((8, CB), jnp.uint32)
+
+    def body(i, carry):
+        h1, h2, p1h, p1l, p2h, p2l, lh, ll = carry
+        xh = xh_ref[i, :].reshape(1, CB)
+        xl = xl_ref[i, :].reshape(1, CB)
+        bc = bc_ref[i, :].reshape(1, CB)
+        # pred = last + DFCM stride (64-bit add with carry) when bc > 8
+        al = ll + p2l
+        d2h = lh + p2h + (al < ll).astype(jnp.uint32)
+        dfcm = bc > 8
+        vh = xh ^ jnp.where(dfcm, d2h, p1h)
+        vl = xl ^ jnp.where(dfcm, al, p1l)
+        vh_ref[i, :] = vh.reshape(CB)
+        vl_ref[i, :] = vl.reshape(CB)
+        t1h_ref[:] = jnp.where(iota1 == h1, vh, t1h_ref[:])
+        t1l_ref[:] = jnp.where(iota1 == h1, vl, t1l_ref[:])
+        h1n = (vh >> (32 - e1)) if e1 else h1
+        p1h = _onehot_reduce(t1h_ref[:], iota1, h1n)
+        p1l = _onehot_reduce(t1l_ref[:], iota1, h1n)
+        # stride = v - last (64-bit subtract with borrow)
+        sl = vl - ll
+        sh = vh - lh - (vl < ll).astype(jnp.uint32)
+        t2h_ref[:] = jnp.where(iota2 == h2, sh, t2h_ref[:])
+        t2l_ref[:] = jnp.where(iota2 == h2, sl, t2l_ref[:])
+        h2n = (((h2 << (e2 // 2)) ^ (sh >> (32 - e2))) & m2) if e2 else h2
+        p2h = _onehot_reduce(t2h_ref[:], iota2, h2n)
+        p2l = _onehot_reduce(t2l_ref[:], iota2, h2n)
+        return (h1n, h2n, p1h, p1l, p2h, p2l, vh, vl)
+
+    carry0 = tuple(st_ref[k, :].reshape(1, CB) for k in range(8))
+    out = jax.lax.fori_loop(0, Ls, body, carry0)
+    for k in range(8):
+        st_ref[k, :] = out[k].reshape(CB)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def replay64_pallas(bcodes: jax.Array, xhi: jax.Array, xlo: jax.Array,
+                    e1: int, e2: int, interpret: bool = False):
+    """f64 decode replay: (C, L) (bcode, xor hi/lo) → (hi, lo) u32 values.
+
+    2D grid: lane blocks × L-slabs, with the four hash tables and the 8
+    scalar carries held in scratch across slabs — so the per-step VMEM
+    footprint is slab-sized (5 streams × Ls × CB), not L-sized, and CB stays
+    at full lane width. Note the shift identities: for normalized e ≤ 30 the
+    64-bit forms ``v >> (64-e)`` / ``stride >> (64-e)`` read only the hi
+    word as ``hi >> (32-e)`` (fp64_jax closed forms)."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = xhi.shape
+    T1, T2 = 1 << e1, 1 << e2
+    Ls = min(L, 1024)
+    assert L % Ls == 0
+    n_slabs = L // Ls
+    budget = 14 * 1024 * 1024
+    CB = C_BLK
+    while CB > 128 and (2 * 5 * Ls + 2 * (T1 + T2)) * CB * 4 > budget:
+        CB //= 2
+    xhT, Cp = _pad_lanes(xhi.T, CB)
+    xlT, _ = _pad_lanes(xlo.T, CB)
+    bcT, _ = _pad_lanes(bcodes.astype(jnp.uint32).T, CB)
+    kern = functools.partial(_replay64_kernel, e1, e2, T1, T2, Ls, CB, n_slabs)
+    spec = pl.BlockSpec((Ls, CB), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+    vhT, vlT = pl.pallas_call(
+        kern,
+        grid=(Cp // CB, n_slabs),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((L, Cp), jnp.uint32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
+            pltpu.VMEM((8, CB), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(xhT, xlT, bcT)
+    return vhT[:, :C].T, vlT[:, :C].T
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def replay_pallas(bcodes: jax.Array, xors: jax.Array, e1: int, e2: int,
                   interpret: bool = False):
