@@ -294,7 +294,7 @@ json.dump({"gbps": gbps, "decode_gbps": dgbps,
 """
 
 
-def run_device_child(n_values: int, chunk_len: int, timeout: int = 540,
+def run_device_child(n_values: int, chunk_len: int, timeout: int = 900,
                      script_tpl: str | None = None):
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         out_path = f.name
