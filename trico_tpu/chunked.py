@@ -5,13 +5,16 @@ A version-1 trico-tpu archive replaces each plain FP substream payload with:
 ``[u8 container_version=1][u8 flags][u32 LE chunk_len][u32 LE total_count]``
 ``[u32 LE n_chunks][n_chunks x u32 LE chunk_size][concatenated chunk payloads]``
 
-flags bit 0: element width (0 = f32, 1 = f64).
+flags bit 0: element width (0 = f32/u32, 1 = f64/u64).
 flags bit 1: payload kind (set = chunked LZ4 container, see encode_lz4_chunked).
 flags bit 2: chunk layout (0 = reference layout, 1 = "tpu" v2 layout: same
 bytes with the group tags front-loaded — fp_jax.pack_f32_chunks_v2 — so decode
 is gather-free on TPU). The final partial chunk, if any, always uses the
 reference layout (it is host-coded either way); relayout is a pure byte
 permutation, so sizes are identical across layouts.
+flags bit 3: BP32/64 bit-plane integer container (FORMAT.md §6,
+codec/bp_ref.py) — the TPU-native integer codec, picked per stream when
+smaller than LZ4 byte planes (encode_int_best).
 
 Every chunk payload holds ``chunk_len`` values (final chunk: the remainder)
 with a standard FP substream header (hash_info byte, big-endian count — see
@@ -87,7 +90,7 @@ class ContainerHeader:
 
     def __init__(self, bits, kind, layout, chunk_len, total, n_chunks):
         self.bits = bits            # 32 | 64
-        self.kind = kind            # "fp" | "lz4"
+        self.kind = kind            # "fp" | "lz4" | "bp"
         self.layout = layout        # "ref" | "tpu"
         self.chunk_len = chunk_len
         self.total = total
