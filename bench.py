@@ -294,8 +294,15 @@ json.dump({"gbps": gbps, "decode_gbps": dgbps,
 """
 
 
-def run_device_child(n_values: int, chunk_len: int, timeout: int = 900,
+def run_device_child(n_values: int, chunk_len: int, timeout: int = 1800,
                      script_tpl: str | None = None):
+    """Run the device bench child. The timeout must cover the axon TPU
+    *claim* latency, which grows when prior claims were killed mid-wait
+    (each abandoned claim leaves a server-side grant that must expire) —
+    measured from ~1 min fresh to 15+ min after repeated kills. A timed-out
+    child is itself another abandoned claim, so the caller must NOT retry
+    on timeout (it compounds the backlog); retry only on clean nonzero
+    exits (transient tunnel errors)."""
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         out_path = f.name
     script = (script_tpl or CHILD) % {"repo": str(REPO)}
@@ -309,7 +316,9 @@ def run_device_child(n_values: int, chunk_len: int, timeout: int = 900,
             return None
         with open(out_path) as f:
             return json.load(f)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError, FileNotFoundError):
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    except (json.JSONDecodeError, FileNotFoundError):
         return None
     finally:
         try:
@@ -405,9 +414,9 @@ def main():
     # production default chunk length (chunked.DEFAULT_CHUNK_LEN)
     chunk_len = int(os.environ.get("TRICO_BENCH_CHUNK", "4096"))
     result = run_device_child(n_values, chunk_len)
-    if result is None:
-        result = run_device_child(n_values, chunk_len)  # one retry
-    if result is None:
+    if result is None:  # clean child failure: one retry (transient tunnel)
+        result = run_device_child(n_values, chunk_len)
+    if result == "timeout" or result is None:
         result = host_fallback(n_values)
     if result is None:
         result = {"gbps": 0.0, "ratio": 0.0, "exact": False, "backend": "none"}
