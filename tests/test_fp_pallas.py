@@ -197,3 +197,20 @@ def test_replay64_interpret_roundtrip(e1, e2):
     vh, vl = fp_pallas.replay64_pallas(bc, rh, rl, e1, e2, True)
     np.testing.assert_array_equal(np.asarray(vh), np.asarray(hi))
     np.testing.assert_array_equal(np.asarray(vl), np.asarray(lo))
+
+
+@pytest.mark.parametrize("e1,e2", [(4, 6), (4, 10)])
+def test_predict64_interpret_matches_sort(e1, e2):
+    """f64 Pallas predictor (interpret) == sort predictor, across the slab
+    boundary."""
+    from trico_tpu.codec import fp64_jax
+
+    C, L = 3, 2048
+    vals = mesh_like_floats(C * L, seed=13, dtype=np.float64).view(np.uint64)
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32).reshape(C, L))
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(C, L))
+    got = fp_pallas.predict64_xors_pallas(hi, lo, e1, e2, True)
+    want = fp64_jax._predict_sort64(hi, lo, *fp64_jax._norm_exponents(e1, e2))
+    for g, w, name in zip(got, want, ("x1h", "x1l", "x2h", "x2l")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=name)

@@ -98,11 +98,21 @@ def _predict_sort64(hi, lo, e1, e2):
 def predict_f64_chunks(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 20):
     """(C, L) uint32 hi/lo words → (bcode (C, L) uint8, res hi/lo (C, L)).
 
-    Uses the scan-free sort predictor whenever the sort keys fit (the norm —
-    it is the only practical backend for the reference's (20,20) table
-    exponents on device); falls back to the one-hot lane scan otherwise."""
+    Backend order: the VMEM Pallas predictor kernel on real TPUs when the
+    four hash tables fit (the (4,6) chunked default); else the scan-free
+    sort predictor whenever the sort keys fit (the only practical backend
+    for the reference's (20,20) table exponents on device); else the
+    one-hot lane scan. All bit-identical."""
+    from .fp_jax import _use_pallas
+
     e1, e2 = _norm_exponents(e1, e2)
     C, L = hi.shape
+    if (_use_pallas() and L % 1024 in (0, L)
+            and 2 * ((1 << e1) + (1 << e2)) <= (1 << 13)):
+        from . import fp_pallas
+
+        x1h, x1l, x2h, x2l = fp_pallas.predict64_xors_pallas(hi, lo, e1, e2)
+        return _bcode_res_from_xors64(x1h, x1l, x2h, x2l)
     lbits = max(L - 1, 1).bit_length()
     if e1 + lbits <= 32 and e2 + lbits <= 32:
         x1h, x1l, x2h, x2l = _predict_sort64(hi, lo, e1, e2)

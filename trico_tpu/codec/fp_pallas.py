@@ -385,6 +385,92 @@ def _replay64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
         st_ref[k, :] = out[k].reshape(CB)
 
 
+def _predict64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
+                      vh_ref, vl_ref, x1h_ref, x1l_ref, x2h_ref, x2l_ref,
+                      t1h_ref, t1l_ref, t2h_ref, t2l_ref, st_ref):
+    """f64 encode predictor slab: same table/carry persistence scheme as
+    :func:`_replay64_kernel`; emits FCM and DFCM xors (fps.c:576-800)."""
+    j = pl.program_id(1)
+    m2 = np.uint32((1 << e2) - 1)
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+
+    @pl.when(j == 0)
+    def _init():
+        t1h_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t1l_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t2h_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        t2l_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        st_ref[:] = jnp.zeros((8, CB), jnp.uint32)
+
+    def body(i, carry):
+        h1, h2, p1h, p1l, p2h, p2l, lh, ll = carry
+        vh = vh_ref[i, :].reshape(1, CB)
+        vl = vl_ref[i, :].reshape(1, CB)
+        x1h_ref[i, :] = (vh ^ p1h).reshape(CB)
+        x1l_ref[i, :] = (vl ^ p1l).reshape(CB)
+        al = ll + p2l
+        d2h = lh + p2h + (al < ll).astype(jnp.uint32)
+        x2h_ref[i, :] = (vh ^ d2h).reshape(CB)
+        x2l_ref[i, :] = (vl ^ al).reshape(CB)
+        t1h_ref[:] = jnp.where(iota1 == h1, vh, t1h_ref[:])
+        t1l_ref[:] = jnp.where(iota1 == h1, vl, t1l_ref[:])
+        h1n = (vh >> (32 - e1)) if e1 else h1
+        p1h = _onehot_reduce(t1h_ref[:], iota1, h1n)
+        p1l = _onehot_reduce(t1l_ref[:], iota1, h1n)
+        sl = vl - ll
+        sh = vh - lh - (vl < ll).astype(jnp.uint32)
+        t2h_ref[:] = jnp.where(iota2 == h2, sh, t2h_ref[:])
+        t2l_ref[:] = jnp.where(iota2 == h2, sl, t2l_ref[:])
+        h2n = (((h2 << (e2 // 2)) ^ (sh >> (32 - e2))) & m2) if e2 else h2
+        p2h = _onehot_reduce(t2h_ref[:], iota2, h2n)
+        p2l = _onehot_reduce(t2l_ref[:], iota2, h2n)
+        return (h1n, h2n, p1h, p1l, p2h, p2l, vh, vl)
+
+    carry0 = tuple(st_ref[k, :].reshape(1, CB) for k in range(8))
+    out = jax.lax.fori_loop(0, Ls, body, carry0)
+    for k in range(8):
+        st_ref[k, :] = out[k].reshape(CB)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def predict64_xors_pallas(hi: jax.Array, lo: jax.Array, e1: int, e2: int,
+                          interpret: bool = False):
+    """f64 encode predictor: (C, L) (hi, lo) → (x1h, x1l, x2h, x2l).
+
+    Same 2D-grid/scratch layout as :func:`replay64_pallas`."""
+    e1, e2 = _norm_exponents(e1, e2)
+    C, L = hi.shape
+    T1, T2 = 1 << e1, 1 << e2
+    Ls = min(L, 1024)
+    assert L % Ls == 0
+    n_slabs = L // Ls
+    budget = 14 * 1024 * 1024
+    CB = C_BLK
+    while CB > 128 and (2 * 6 * Ls + 2 * (T1 + T2)) * CB * 4 > budget:
+        CB //= 2
+    vhT, Cp = _pad_lanes(hi.T, CB)
+    vlT, _ = _pad_lanes(lo.T, CB)
+    kern = functools.partial(_predict64_kernel, e1, e2, T1, T2, Ls, CB, n_slabs)
+    spec = pl.BlockSpec((Ls, CB), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(Cp // CB, n_slabs),
+        in_specs=[spec, spec],
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((L, Cp), jnp.uint32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T1, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
+            pltpu.VMEM((T2, CB), jnp.uint32),
+            pltpu.VMEM((8, CB), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(vhT, vlT)
+    return tuple(o[:, :C].T for o in outs)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def replay64_pallas(bcodes: jax.Array, xhi: jax.Array, xlo: jax.Array,
                     e1: int, e2: int, interpret: bool = False):
