@@ -50,6 +50,8 @@ import numpy as np
 
 def run(block_values: int):
     os.environ["TRICO_TPU_V2_BLOCK_VALUES"] = str(block_values)
+    # bisection deliberately crosses the verified budget; bypass the guard
+    os.environ["TRICO_TPU_V2_UNSAFE"] = "1"
     # fresh import state for the env-dependent row budget
     for m in list(sys.modules):
         if m.startswith("trico_tpu"):

