@@ -158,3 +158,20 @@ def test_rows_bytes_moves_native():
     want = np.zeros((C, B), np.uint8)
     want[mask] = out
     np.testing.assert_array_equal(back, want)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native")
+def test_lz4_partition_seam_rescan():
+    """Highly repetitive long-period data must not pay partition-seam bytes:
+    the encoder redoes a single serial scan when the partitioned result
+    signals such data and keeps the smaller output (corpus 'scan' class
+    regression — seams cost +29% on triangle-index byte planes before r5)."""
+    from trico_tpu.codec import lz4_ref
+
+    rng = np.random.default_rng(0)
+    period = rng.integers(0, 4, 1314).astype(np.uint8)  # long-period pattern
+    buf = np.tile(period, 260)  # ~342 KB -> 3 partitions
+    a = native.lz4_compress(buf)
+    b = lz4_ref.compress(bytes(buf))  # single-scan scalar oracle
+    assert len(a) <= len(b)
+    assert bytes(lz4_ref.decompress(a, len(buf))) == bytes(buf)

@@ -1304,6 +1304,28 @@ static int64_t lz_assemble(const uint8_t* src, int64_t n, int64_t per,
   return op - dst;
 }
 
+// Partition seams can cost real bytes on highly repetitive data: a match
+// spanning a part boundary restarts in the next part, and on long-period
+// streams the restart repeatedly lands mid-pattern (measured +29% on a
+// triangle-index byte plane vs the reference single scan — the corpus
+// "scan" class). When the partitioned result signals such data (ratio
+// better than 8:1), redo one serial scan and keep the smaller output —
+// cheap exactly when triggered (the skip-accelerated scan flies through
+// repetitive bytes), and a pure function of the input bytes, so output
+// stays independent of core count.
+static int64_t lz_maybe_rescan(const uint8_t* src, int64_t n, uint8_t* dst,
+                               int64_t sz) {
+  if (sz < 0 || sz * 8 >= n) return sz;
+  std::unique_ptr<uint8_t[]> tmp(new uint8_t[size_t(tt_lz4_bound(n))]);
+  int64_t tail = 0;
+  int64_t s2 = lz_compress_part(src, 0, n, n, tmp.get(), &tail);
+  if (s2 >= 0 && s2 < sz) {
+    std::memcpy(dst, tmp.get(), size_t(s2));
+    return s2;
+  }
+  return sz;
+}
+
 }  // namespace
 
 EXPORT int64_t tt_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
@@ -1327,8 +1349,10 @@ EXPORT int64_t tt_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
     part_sz[k] = lz_compress_part(src, lo, hi, n,
                                   scratch.get() + scr_off[k], &tail_lo[k]);
   });
-  return lz_assemble(src, n, per, part_lo.data(), part_sz.data(),
-                     tail_lo.data(), scratch.get(), scr_off.data(), P, dst);
+  int64_t sz = lz_assemble(src, n, per, part_lo.data(), part_sz.data(),
+                           tail_lo.data(), scratch.get(), scr_off.data(), P,
+                           dst);
+  return lz_maybe_rescan(src, n, dst, sz);
 }
 
 // Emit a valid LZ4 block from device-found match candidates (offsets per
@@ -1572,10 +1596,12 @@ EXPORT int64_t tt_lz4_compress_blocks(const uint8_t* src, const int64_t* src_off
       out_sz[b] = job_sz[j0];
       return;
     }
-    out_sz[b] = lz_assemble(src + src_off[b], src_sz[b], b_per[b],
-                            &job_lo[j0], &job_sz[j0], &job_tail[j0],
-                            scratch.get(), &scr_off[j0], P,
-                            dst + b * cap_per_block);
+    int64_t sz = lz_assemble(src + src_off[b], src_sz[b], b_per[b],
+                             &job_lo[j0], &job_sz[j0], &job_tail[j0],
+                             scratch.get(), &scr_off[j0], P,
+                             dst + b * cap_per_block);
+    out_sz[b] = lz_maybe_rescan(src + src_off[b], src_sz[b],
+                                dst + b * cap_per_block, sz);
   });
   return -err.load();
 }
