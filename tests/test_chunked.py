@@ -222,3 +222,40 @@ def test_v1_archive_adaptive_default():
     r = ArchiveReader(w_opt.tobytes())
     np.testing.assert_array_equal(
         r.read_vertices().view(np.uint32), verts.view(np.uint32))
+
+
+def test_fill_container_roundtrip():
+    """Constant byte planes ride the 19-byte "fill" kind (FORMAT.md §4)."""
+    cont = chunked.encode_fill(0x7F, 1_000_000)
+    assert len(cont) == 19
+    out = chunked.decode_fill(cont)
+    assert out.shape == (1_000_000,) and np.all(out == 0x7F)
+    # decode_lz4_chunked dispatches fill transparently (reader call sites)
+    np.testing.assert_array_equal(chunked.decode_lz4_chunked(cont), out)
+    hdr = chunked.parse_container_header(cont)
+    assert hdr.kind == "fill" and hdr.total == 1_000_000
+
+
+def test_encode_int_best_emits_fill_for_constant_planes():
+    """u64 indices below 2^16: planes 2..7 are constant zero -> fill."""
+    tris = np.arange(3 * 40_000, dtype=np.uint64) % 40_000
+    subs = chunked.encode_int_best(tris)
+    hdrs = [chunked.parse_container_header(s) for s in subs]
+    kinds = [h.kind for h in hdrs]
+    assert kinds.count("fill") >= 5  # planes 2..7 constant (and maybe more)
+    # full round-trip through the reader path
+    from trico_tpu.codec import transpose
+
+    planes = [chunked.decode_lz4_chunked(s) for s in subs]
+    back = transpose.from_byte_planes(planes, np.uint64)
+    np.testing.assert_array_equal(back, tris)
+
+
+def test_fill_container_corrupt_rejected():
+    cont = bytearray(chunked.encode_fill(3, 1000))
+    cont2 = bytearray(cont)
+    cont2[2:6] = (999).to_bytes(4, "little")  # chunk_len != total
+    with pytest.raises(ValueError):
+        chunked.decode_fill(bytes(cont2))
+    with pytest.raises(ValueError):
+        chunked.decode_fill(bytes(cont[:-1]))  # truncated payload

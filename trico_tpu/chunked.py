@@ -15,6 +15,12 @@ permutation, so sizes are identical across layouts.
 flags bit 3: BP32/64 bit-plane integer container (FORMAT.md §6,
 codec/bp_ref.py) — the TPU-native integer codec, picked per stream when
 smaller than LZ4 byte planes (encode_int_best).
+flags == 10 (bits 1+3 together): "fill" container — the whole plane is one
+repeated byte: ``[u8 1][u8 10][u32 total][u32 total][u32 1][u32 1][u8 value]``
+(19 bytes regardless of length). Constant byte planes are common (upper
+index planes when ids < 2^24, 0xFF alpha planes) and LZ4 fundamentally
+costs ~n/255 on them (match-length extension bytes, lz4.c:207-210); this
+kind makes them free. Emitted per plane by encode_int_best.
 
 Every chunk payload holds ``chunk_len`` values (final chunk: the remainder)
 with a standard FP substream header (hash_info byte, big-endian count — see
@@ -107,9 +113,14 @@ def parse_container_header(payload) -> ContainerHeader | None:
     if len(buf) < 14 or buf[0] != 1:
         return None
     flags = buf[1]
+    chunk_len, total, n_chunks = struct.unpack_from("<III", buf, 2)
+    if flags == 10:
+        # bits 1+3 together = "fill": one repeated byte for the whole plane
+        return ContainerHeader(bits=32, kind="fill", layout="ref",
+                               chunk_len=chunk_len, total=total,
+                               n_chunks=n_chunks)
     if flags & ~15 or (flags & 2 and flags & 8):
         return None  # unknown flag bits / contradictory kind: not ours
-    chunk_len, total, n_chunks = struct.unpack_from("<III", buf, 2)
     return ContainerHeader(
         bits=64 if flags & 1 else 32,
         kind="bp" if flags & 8 else ("lz4" if flags & 2 else "fp"),
@@ -342,7 +353,28 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     return head + sizes_blob + b"".join(payloads)
 
 
-DEFAULT_LZ4_BLOCK = 16384
+# 1 MiB blocks: LZ4's match window is 64 KiB, so block independence costs
+# only the first-64-KiB warm-up per block — measured within 1-2% of a
+# whole-plane scan on every corpus index stream, vs +70-400% at the old
+# 16 KiB (corpus gate r5). Decode parallelism is unaffected for real
+# streams (Lucy-class planes still span ~80 blocks).
+DEFAULT_LZ4_BLOCK = 1 << 20
+
+
+def encode_fill(value: int, total: int) -> bytes:
+    """A "fill" container: ``total`` copies of one byte in 19 bytes."""
+    return struct.pack("<BBIII", 1, 10, total, total, 1) \
+        + struct.pack("<I", 1) + bytes([value])
+
+
+def decode_fill(data) -> np.ndarray:
+    data = bytes(data)
+    hdr, sizes, off = parse_validated_framing(data)
+    if hdr.kind != "fill":
+        raise ValueError("not a fill container")
+    if sizes != (1,) or hdr.chunk_len != hdr.total:
+        raise ValueError("corrupt fill container")
+    return np.full(hdr.total, data[off], np.uint8)
 
 
 def encode_lz4_chunked(plane: np.ndarray, block_len: int = DEFAULT_LZ4_BLOCK,
@@ -554,9 +586,14 @@ def encode_int_best(arr: np.ndarray, block_len: int | None = None,
     from .codec import transpose
 
     arr = np.ascontiguousarray(arr)
-    lz4_subs = [encode_lz4_chunked(plane, block_len or DEFAULT_LZ4_BLOCK,
-                                   use_tpu=use_tpu)
-                for plane in transpose.byte_planes(arr)]
+    # constant byte planes (zero upper index planes, 0xFF alpha) are 19-byte
+    # fill containers — LZ4 would pay ~n/255 in match-length extensions
+    lz4_subs = [
+        encode_fill(int(plane[0]), len(plane))
+        if len(plane) and not np.any(plane != plane[0])
+        else encode_lz4_chunked(plane, block_len or DEFAULT_LZ4_BLOCK,
+                                use_tpu=use_tpu)
+        for plane in transpose.byte_planes(arr)]
     flat = arr.reshape(-1)
     if flat.dtype.itemsize in (4, 8):
         bp = encode_bp_chunked(flat, use_tpu=use_tpu)
@@ -575,6 +612,8 @@ def decode_lz4_chunked(data) -> np.ndarray:
 
     data = bytes(data)
     hdr, sizes, off = parse_validated_framing(data)
+    if hdr.kind == "fill":
+        return decode_fill(data)
     if hdr.kind != "lz4":
         raise ValueError("not a chunked LZ4 container")
     block_len, total, n_blocks = hdr.chunk_len, hdr.total, hdr.n_chunks
@@ -601,11 +640,9 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
     """Decode a chunked container → (raw-bits array, bits)."""
     data = bytes(data)
     hdr, sizes, off = parse_validated_framing(data)
-    if hdr.kind == "lz4":
-        raise ValueError("LZ4 container passed to decode_chunked")
-    if hdr.kind == "bp":
-        raise ValueError("BP32 container passed to decode_chunked "
-                         "(use decode_bp_chunked)")
+    if hdr.kind != "fp":
+        raise ValueError(f"{hdr.kind} container passed to decode_chunked "
+                         "(FP containers only)")
     chunk_len, total, n_chunks = hdr.chunk_len, hdr.total, hdr.n_chunks
     bits = hdr.bits
     layout = hdr.layout
