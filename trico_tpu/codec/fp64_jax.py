@@ -516,7 +516,19 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
 # VMEM-viable tables buy nothing on doubles, and (10,12)'s 5120-row one-hot
 # replay measured 0.25 GB/s on device vs the small-table kernel's multi-GB/s.
 # (4,6) is FIRST so equal-size chunks take the fast device-decodable pair.
-F64_TPU_CANDIDATES = ((4, 6), (20, 20))
+# r5 corpus re-measurement (per-chunk best-of at L=4096, VERDICT r3 task 4 /
+# r4 weak #1): on a real f64 surface ("double" class) and bunny widened to
+# f64, adding the mid-table pairs moves the needle only marginally but
+# always downward —
+#   set                      double.v    bunny64.v
+#   ((4,6),(20,20))           208,512     486,872
+#   + (10,12)                 208,179     486,834
+#   + (10,16)                 208,506     486,354
+#   + both [this]             208,173     486,354
+# Both mid-table pairs run through the sort predictor on device (cost
+# independent of table size) and decode on host threads (2^12+ rows exceed
+# the one-hot replay bound), same as (20,20).
+F64_TPU_CANDIDATES = ((4, 6), (10, 12), (10, 16), (20, 20))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
