@@ -353,6 +353,96 @@ def host_fallback(n_values: int):
     }
 
 
+FULLMESH_ARCHIVE_CHILD = r"""
+import sys, json, time
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
+import numpy as np
+out_path, n_verts = sys.argv[1], int(sys.argv[2])
+from trico_tpu.parallel import mesh_codec
+from trico_tpu.profiling import StageTimer
+
+# synthetic Lucy-class mesh: smooth scan surface + grid triangulation
+side = int(np.sqrt(n_verts))
+th = np.linspace(0.2, np.pi - 0.2, side, dtype=np.float32)[:, None]
+ph = np.linspace(0.0, 1.7 * np.pi, side, dtype=np.float32)[None, :]
+r = 10.0 + np.cumsum(np.random.default_rng(0).normal(
+    0, 1e-3, (side, side)).astype(np.float32), axis=1)
+verts = np.stack([(r * np.sin(th) * np.cos(ph)).ravel(),
+                  (r * np.sin(th) * np.sin(ph)).ravel(),
+                  (r * np.cos(th) * np.ones_like(ph)).ravel()],
+                 axis=1).astype(np.float32)
+i, j = np.meshgrid(np.arange(side - 1), np.arange(side - 1), indexing="ij")
+v00 = (i * side + j).ravel(); v01 = v00 + 1; v10 = v00 + side
+tris = np.concatenate([np.stack([v00, v10, v01], 1),
+                       np.stack([v01, v10, v10 + 1], 1)]).astype(np.uint32)
+raw_bytes = verts.nbytes + tris.nbytes
+mesh = mesh_codec.make_mesh()
+
+# warm-up (compiles), then the timed product run
+blob = mesh_codec.compress_mesh(verts, tris, chunk_len=4096, mesh=mesh)
+prof = StageTimer()
+t0 = time.perf_counter()
+blob = mesh_codec.compress_mesh(verts, tris, chunk_len=4096, mesh=mesh,
+                                profile=prof)
+enc_dt = time.perf_counter() - t0
+t0 = time.perf_counter()
+out = mesh_codec.decompress_mesh(blob, mesh)
+dec_dt = time.perf_counter() - t0
+exact = bool(np.array_equal(out["vertices"].view(np.uint32),
+                            verts.view(np.uint32))
+             and np.array_equal(out["triangles"], tris))
+stages = {k: round(s.seconds, 4) for k, s in prof.stages.items()}
+accounted = sum(stages.values())
+json.dump({
+    "n_vertices": len(verts), "n_triangles": len(tris),
+    "raw_bytes": raw_bytes, "archive_bytes": len(blob),
+    "ratio": round(raw_bytes / len(blob), 3),
+    "encode_wall_s": round(enc_dt, 4), "decode_wall_s": round(dec_dt, 4),
+    "encode_gbps": round(raw_bytes / 1e9 / enc_dt, 3),
+    "decode_gbps": round(raw_bytes / 1e9 / dec_dt, 3),
+    "stage_seconds": stages,
+    "assembly_frac": round(stages.get("fp_assembly", 0.0) / enc_dt, 4),
+    "other_frac": round(max(enc_dt - accounted, 0.0) / enc_dt, 4),
+    "exact": exact, "backend": "cpu-mesh-8dev",
+}, open(out_path, "w"))
+"""
+
+
+def fullmesh_archive_cpu(n_verts: int | None = None, timeout: int = 900):
+    """VERDICT r4 #3: the real product pipeline end-to-end — compress_mesh
+    -> archive bytes -> decompress_mesh on a Lucy-class synthetic mesh, with
+    the per-stage wall split (device kernels / gather / container assembly /
+    tails). Runs on the virtual 8-device CPU mesh in a child process (the
+    host-stage costs are backend-independent; device-kernel GB/s comes from
+    the TPU sections above)."""
+    n_verts = n_verts or int(os.environ.get("TRICO_BENCH_MESH_VERTS",
+                                            str(2_000_000)))
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        out_path = f.name
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", FULLMESH_ARCHIVE_CHILD % {"repo": str(REPO)},
+             out_path, str(n_verts)],
+            timeout=timeout, capture_output=True, env=env)
+        if proc.returncode != 0:
+            return {"error": proc.stderr.decode(errors="replace")[-200:]}
+        with open(out_path) as f:
+            return json.load(f)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    except (json.JSONDecodeError, FileNotFoundError) as e:
+        return {"error": str(e)[:160]}
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
 def bunny_extra():
     """Compressed bunny size via the host path with adaptive per-plane hash
     exponents (reference's own output: 584,613 B for vertices+triangles;
@@ -453,6 +543,7 @@ def main():
 
     extra = {k: v for k, v in result.items() if k not in ("gbps",)}
     extra.update(bunny_extra())
+    extra["fullmesh_archive"] = fullmesh_archive_cpu()
     line = {
         "metric": "fp32_encode_GBps_per_chip",
         "value": round(result["gbps"], 3),

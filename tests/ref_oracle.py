@@ -126,3 +126,51 @@ def ref_lz4_decompress(data: bytes, out_size: int) -> bytes:
     sz = lib.LZ4_decompress_safe(data, out, len(data), out_size)
     assert sz == out_size, f"ref lz4 decode gave {sz}, want {out_size}"
     return out.raw[:out_size]
+
+
+def ref_archive(mesh: dict) -> bytes | None:
+    """Encode a mesh-stream dict with the compiled reference library into a
+    complete v0 archive (stream order mirrors tools/trico_encoder/main.c:
+    vertices, triangles, then optional attribute streams).
+
+    Keys: vertices (f32/f64 (n,3)), triangles (u32/u64 (m,3)),
+    vertex_normals (f32), vertex_colors (u32), uv_per_vertex (f32 (n,2)).
+    Returns archive bytes, or None when the reference is unavailable."""
+    lib = get()
+    if lib is None:
+        return None
+    a = lib.trico_open_archive_for_writing(1 << 20)
+    try:
+        def vp(arr):
+            return np.ascontiguousarray(arr).ctypes.data_as(ctypes.c_void_p)
+
+        verts = np.ascontiguousarray(mesh["vertices"])
+        nv = len(verts)
+        if verts.dtype == np.float64:
+            assert lib.trico_write_vertices_double(a, vp(verts), nv)
+        else:
+            assert lib.trico_write_vertices(a, vp(verts.astype(np.float32)), nv)
+        tris = mesh.get("triangles")
+        if tris is not None:
+            tris = np.ascontiguousarray(tris)
+            if tris.dtype == np.uint64:
+                assert lib.trico_write_triangles_long(a, vp(tris), len(tris))
+            else:
+                assert lib.trico_write_triangles(
+                    a, vp(tris.astype(np.uint32)), len(tris))
+        if "vertex_normals" in mesh:
+            assert lib.trico_write_vertex_normals(
+                a, vp(np.ascontiguousarray(mesh["vertex_normals"],
+                                           np.float32)), nv)
+        if "vertex_colors" in mesh:
+            assert lib.trico_write_vertex_colors(
+                a, vp(np.ascontiguousarray(mesh["vertex_colors"],
+                                           np.uint32)), nv)
+        if "uv_per_vertex" in mesh:
+            assert lib.trico_write_uv_per_vertex(
+                a, vp(np.ascontiguousarray(mesh["uv_per_vertex"],
+                                           np.float32)), nv)
+        size = lib.trico_get_size(a)
+        return ctypes.string_at(lib.trico_get_buffer_pointer(a), size)
+    finally:
+        lib.trico_close_archive(a)

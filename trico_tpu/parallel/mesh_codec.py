@@ -25,6 +25,7 @@ Works identically on one chip, a virtual CPU mesh (tests /
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import struct
 
@@ -207,17 +208,28 @@ def _put_sharded(arr: np.ndarray, mesh: Mesh, spec: P):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+class _NullTimer:
+    """No-op StageTimer stand-in so the hot path has no conditionals."""
+
+    @staticmethod
+    @contextlib.contextmanager
+    def stage(name, nbytes=0, sync=None):
+        yield
+
+
 def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
-                          optimize: bool) -> list[bytes]:
+                          optimize: bool, prof=None) -> list[bytes]:
     """Sharded-encode (p, N) uint32 planes → one chunked v1 container per plane.
 
     Full chunks go through the shard_map encode (all-gather size exscan fixes
     the deterministic layout); the final partial chunk is host-coded. Output
     bytes are identical to ``chunked.encode_chunked(..., layout="tpu")``
-    regardless of device count."""
+    regardless of device count. ``prof`` (StageTimer) splits the wall into
+    device kernels / host gather / container assembly / tail coding."""
     from .. import chunked as _chunked
     from ..archive import F32_EXP
 
+    prof = prof or _NullTimer()
     e1, e2 = F32_EXP  # matches ArchiveWriter(chunk_len=...) for bit-identity
     n_dev = mesh.devices.size
     p, N = planes.shape
@@ -227,22 +239,29 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         Cp = max(((C + n_dev - 1) // n_dev) * n_dev, n_dev)
         vals = np.zeros((p, Cp, chunk_len), np.uint32)
         vals[:, :C] = planes[:, : C * chunk_len].reshape(p, C, chunk_len)
-        dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
-            _put_sharded(vals, mesh, P(None, "chunks", None)),
-            None if optimize else e1, None if optimize else e2, mesh=mesh
-        )
-        payloads = _gather_to_host(dev_payloads)
-        sizes = _gather_to_host(dev_sizes)
+        with prof.stage("fp_device_encode", nbytes=vals.nbytes,
+                        sync=lambda: (dev_payloads, dev_sizes)):
+            dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
+                _put_sharded(vals, mesh, P(None, "chunks", None)),
+                None if optimize else e1, None if optimize else e2, mesh=mesh
+            )
+        with prof.stage("fp_gather", nbytes=vals.nbytes):
+            payloads = _gather_to_host(dev_payloads)
+            sizes = _gather_to_host(dev_sizes)
     out = []
     for i in range(p):
         # vectorized masked gather (no per-chunk Python loop, VERDICT r3 #4)
         chunk_sizes = [int(s) for s in sizes[i, :C]] if C else []
-        body = [_chunked.rows_to_bytes(payloads[i, :C], sizes[i, :C]).tobytes()] \
-            if C else []
+        with prof.stage("fp_assembly",
+                        nbytes=int(sizes[i, :C].sum()) if C else 0):
+            body = [_chunked.rows_to_bytes(payloads[i, :C],
+                                           sizes[i, :C]).tobytes()] if C else []
         tail = planes[i, C * chunk_len :]
         if len(tail):
-            tp = (_chunked._host_fp_encode_best(tail, fp_jax.F32_TPU_CANDIDATES)
-                  if optimize else _chunked._host_fp_encode(tail, e1, e2))
+            with prof.stage("fp_tails", nbytes=tail.nbytes):
+                tp = (_chunked._host_fp_encode_best(tail,
+                                                    fp_jax.F32_TPU_CANDIDATES)
+                      if optimize else _chunked._host_fp_encode(tail, e1, e2))
             chunk_sizes.append(len(tp))
             body.append(tp)
         head = struct.pack("<BBIII", 1, 4, chunk_len, N, len(chunk_sizes))
@@ -252,7 +271,7 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
 
 
 def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
-                          optimize: bool = True) -> list[bytes]:
+                          optimize: bool = True, prof=None) -> list[bytes]:
     """Sharded-encode (p, N) uint64 planes → one chunked v1 f64 container each.
 
     Bit-identical to ``chunked.encode_chunked(plane, layout="tpu")`` for any
@@ -263,6 +282,7 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
     from .. import chunked as _chunked
     from ..archive import F64_EXP
 
+    prof = prof or _NullTimer()
     e1, e2 = F64_EXP
     chunk_len = (chunk_len // 2) * 2 or 2
     n_dev = mesh.devices.size
@@ -276,21 +296,28 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         full = planes[:, : C * chunk_len].reshape(p, C, chunk_len)
         hi[:, :C] = (full >> np.uint64(32)).astype(np.uint32)
         lo[:, :C] = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
-            _put_sharded(hi, mesh, P(None, "chunks", None)),
-            _put_sharded(lo, mesh, P(None, "chunks", None)),
-            None if optimize else e1, None if optimize else e2, mesh=mesh)
-        payloads = _gather_to_host(dev_payloads)
-        sizes = _gather_to_host(dev_sizes)
+        with prof.stage("fp_device_encode", nbytes=hi.nbytes + lo.nbytes,
+                        sync=lambda: (dev_payloads, dev_sizes)):
+            dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
+                _put_sharded(hi, mesh, P(None, "chunks", None)),
+                _put_sharded(lo, mesh, P(None, "chunks", None)),
+                None if optimize else e1, None if optimize else e2, mesh=mesh)
+        with prof.stage("fp_gather", nbytes=hi.nbytes + lo.nbytes):
+            payloads = _gather_to_host(dev_payloads)
+            sizes = _gather_to_host(dev_sizes)
     out = []
     for i in range(p):
         chunk_sizes = [int(s) for s in sizes[i, :C]] if C else []
-        body = [_chunked.rows_to_bytes(payloads[i, :C], sizes[i, :C]).tobytes()] \
-            if C else []
+        with prof.stage("fp_assembly",
+                        nbytes=int(sizes[i, :C].sum()) if C else 0):
+            body = [_chunked.rows_to_bytes(payloads[i, :C],
+                                           sizes[i, :C]).tobytes()] if C else []
         tail = planes[i, C * chunk_len :]
         if len(tail):
-            tp = (_chunked._host_fp_encode_best(tail, fp64_jax.F64_TPU_CANDIDATES)
-                  if optimize else _chunked._host_fp_encode(tail, e1, e2))
+            with prof.stage("fp_tails", nbytes=tail.nbytes):
+                tp = (_chunked._host_fp_encode_best(
+                        tail, fp64_jax.F64_TPU_CANDIDATES)
+                      if optimize else _chunked._host_fp_encode(tail, e1, e2))
             chunk_sizes.append(len(tp))
             body.append(tp)
         head = struct.pack("<BBIII", 1, 1 | 4, chunk_len, N, len(chunk_sizes))
@@ -305,7 +332,7 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
                   uv_per_vertex=None, attributes_uint8=None,
                   attributes_uint32=None, attributes_uint64=None,
                   chunk_len: int = 4096, mesh: Mesh | None = None,
-                  optimize: bool = True) -> bytes:
+                  optimize: bool = True, profile=None) -> bytes:
     """Distributed encode of a full mesh into a complete v1 ``.trc`` archive.
 
     Float vec3/vec2 attributes (vertices — float32 or float64 —, vertex
@@ -328,6 +355,7 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
 
     if mesh is None:
         mesh = make_mesh()
+    prof = profile or _NullTimer()
     chunk_len = (chunk_len // 8) * 8 or 8
     parts: list[bytes] = [struct.pack("<II", MAGIC, 1)]
 
@@ -335,11 +363,13 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
         if arr.dtype == np.float64:
             raw = np.ascontiguousarray(arr, np.float64).view(np.uint64)
             planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
-            containers = _f64_plane_containers(planes, chunk_len, mesh, optimize)
+            containers = _f64_plane_containers(planes, chunk_len, mesh,
+                                               optimize, prof)
         else:
             raw = np.ascontiguousarray(arr, np.float32).view(np.uint32)
             planes = np.stack(transpose.aos_to_soa(raw.reshape(-1, width), width))
-            containers = _f32_plane_containers(planes, chunk_len, mesh, optimize)
+            containers = _f32_plane_containers(planes, chunk_len, mesh,
+                                               optimize, prof)
         parts.append(struct.pack("<BI", int(st), raw.size // width))
         for c in containers:
             parts.append(struct.pack("<I", len(c)))
@@ -350,7 +380,9 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
         # pick-best integer coding: BP32 (TPU-native bit-plane codec, device
         # encode + sharded gather-free decode) vs LZ4 byte planes — smaller
         # wins, self-describing per substream (chunked.encode_int_best)
-        for payload in _chunked.encode_int_best(arr):
+        with prof.stage("int_encode", nbytes=arr.nbytes):
+            subs = _chunked.encode_int_best(arr)
+        for payload in subs:
             parts.append(struct.pack("<I", len(payload)))
             parts.append(payload)
 
