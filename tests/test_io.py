@@ -219,3 +219,49 @@ def test_write_ply_storage_modes(tmp_path, bunny_vertices, bunny_triangles, stor
     np.testing.assert_array_equal(out.vertex_colors, colors)
     np.testing.assert_array_equal(out.vertex_normals.view(np.uint32),
                                   normals.view(np.uint32))
+
+
+def test_ply_double_passthrough(tmp_path):
+    """f64 PLY -> v1 archive (vertex_double) -> PLY, bit-exact doubles
+    (capability superset: the reference adapter truncates to float)."""
+    from trico_tpu import cli
+    from trico_tpu.archive import ArchiveReader
+
+    rng = np.random.default_rng(9)
+    verts = (rng.standard_normal((500, 3)) * np.pi).astype(np.float64)
+    tris = rng.integers(0, 500, (300, 3)).astype(np.uint32)
+    src = tmp_path / "in.ply"
+    ply.write_ply(src, verts, triangles=tris)
+    # header declares double properties; default read truncates, keep_doubles
+    # preserves
+    assert ply.read_ply(src).vertices.dtype == np.float32
+    m = ply.read_ply(src, keep_doubles=True)
+    assert m.vertices.dtype == np.float64
+    np.testing.assert_array_equal(m.vertices.view(np.uint64),
+                                  verts.view(np.uint64))
+
+    trc = tmp_path / "out.trc"
+    assert cli.encoder_main(["-i", str(src), "-o", str(trc),
+                             "--keep-doubles", "--chunked"]) == 0
+    r = ArchiveReader(trc.read_bytes())
+    got = r.read_vertices_double()
+    np.testing.assert_array_equal(got.view(np.uint64), verts.view(np.uint64))
+
+    back = tmp_path / "back.ply"
+    assert cli.decoder_main(["-i", str(trc), "-o", str(back)]) == 0
+    m2 = ply.read_ply(back, keep_doubles=True)
+    assert m2.vertices.dtype == np.float64
+    np.testing.assert_array_equal(m2.vertices.view(np.uint64),
+                                  verts.view(np.uint64))
+    np.testing.assert_array_equal(m2.triangles, tris)
+
+
+def test_ply_double_ascii_storage(tmp_path):
+    """Ascii double PLY writes %.17g — bit-exact through text."""
+    verts = np.array([[np.pi, np.e, np.sqrt(2)],
+                      [1e-300, 1e300, -0.1]], np.float64)
+    p = tmp_path / "a.ply"
+    ply.write_ply(p, verts, storage="ascii")
+    m = ply.read_ply(p, keep_doubles=True)
+    np.testing.assert_array_equal(m.vertices.view(np.uint64),
+                                  verts.view(np.uint64))

@@ -56,6 +56,10 @@ def encoder_main(argv=None) -> int:
                     help="write a version-1 chunk-parallel archive (adaptive "
                          "exponents + BP32 pick-best integers; not readable "
                          "by the reference library). Default chunk: 4096")
+    ap.add_argument("--keep-doubles", action="store_true",
+                    help="preserve float64 PLY vertex coordinates as a "
+                         "vertex_double stream (the reference tools truncate "
+                         "doubles to float)")
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
@@ -96,10 +100,13 @@ def encoder_main(argv=None) -> int:
                 w.write_attributes_uint16(attrs)
     else:
         with stage("read_ply", inp.stat().st_size):
-            mesh = ply.read_ply(inp)
+            mesh = ply.read_ply(inp, keep_doubles=args.keep_doubles)
         if mesh.vertices is not None and len(mesh.vertices):
             with stage("encode_vertices", mesh.vertices.nbytes):
-                w.write_vertices(mesh.vertices)
+                if mesh.vertices.dtype == np.float64:
+                    w.write_vertices_double(mesh.vertices)
+                else:
+                    w.write_vertices(mesh.vertices)
         if mesh.triangles is not None and len(mesh.triangles):
             with stage("encode_triangles", mesh.triangles.nbytes):
                 w.write_triangles(mesh.triangles)
@@ -143,8 +150,8 @@ def decoder_main(argv=None) -> int:
             st, arr = r.read_stream()
         if prof:
             prof.stages[f"decode_{st_name}"].nbytes += arr.nbytes
-        if st == StreamType.vertex_float:
-            verts = arr
+        if st in (StreamType.vertex_float, StreamType.vertex_double):
+            verts = arr  # f64 stays f64 into PLY output (double properties)
         elif st == StreamType.triangle_uint32:
             tris = arr
         elif st == StreamType.triangle_normal_float:
@@ -167,8 +174,11 @@ def decoder_main(argv=None) -> int:
         out = Path(args.output)
         want_ply = out.suffix.lower() == ".ply"
     else:
-        # content-based choice (trico_decoder/main.c:414-437)
-        want_ply = colors is not None or uvs is not None or vert_normals is not None
+        # content-based choice (trico_decoder/main.c:414-437); f64 vertices
+        # pick PLY so the doubles survive (STL is float32-only)
+        want_ply = (colors is not None or uvs is not None
+                    or vert_normals is not None
+                    or verts.dtype == np.float64)
         out = _default_output(Path(args.input), ".ply" if want_ply else ".stl")
 
     with stage("write_mesh"):

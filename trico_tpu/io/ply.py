@@ -52,7 +52,8 @@ class _Element:
 class PlyMesh:
     """In-memory mesh as the trico tools consume it."""
 
-    vertices: np.ndarray | None = None          # (n, 3) float32
+    vertices: np.ndarray | None = None          # (n, 3) float32 (float64
+    #                                             with read_ply keep_doubles)
     vertex_normals: np.ndarray | None = None    # (n, 3) float32
     vertex_colors: np.ndarray | None = None     # (n,) uint32 rgba little-endian
     triangles: np.ndarray | None = None         # (m, 3) uint32
@@ -177,7 +178,12 @@ def _stack_list(values, width, pad=0.0, dtype=np.float32):
     return out
 
 
-def read_ply(path) -> PlyMesh:
+def read_ply(path, keep_doubles: bool = False) -> PlyMesh:
+    """Read a PLY mesh. ``keep_doubles=True`` preserves float64 vertex
+    coordinates when the file declares ``double`` x/y/z properties — a
+    capability superset of the reference adapter, which always truncates to
+    float (ioply.c / README "Tools"); the archive layer carries f64 streams
+    end-to-end (vertex_double, trico.c:380-427)."""
     with open(path, "rb") as f:
         raw = f.read()
     fmt, elements, body_off = _parse_header(raw)
@@ -194,8 +200,15 @@ def read_ply(path) -> PlyMesh:
     mesh = PlyMesh()
     v = data.get("vertex", {})
     if "x" in v and "y" in v and "z" in v:
+        vdt = np.float32
+        if keep_doubles:
+            vel = next((e for e in elements if e.name == "vertex"), None)
+            src = {p.name: p.dtype for p in vel.props} if vel else {}
+            if all(src.get(k) == "f8" for k in ("x", "y", "z")):
+                vdt = np.float64
         mesh.vertices = np.stack(
-            [np.asarray(v["x"], np.float32), np.asarray(v["y"], np.float32), np.asarray(v["z"], np.float32)],
+            [np.asarray(v["x"], vdt), np.asarray(v["y"], vdt),
+             np.asarray(v["z"], vdt)],
             axis=1,
         )
     if all(k in v for k in ("nx", "ny", "nz")):
@@ -247,14 +260,20 @@ def write_ply(path, vertices, vertex_normals=None, vertex_colors=None,
                 "binary_be": "binary_big_endian",
                 "ascii": "ascii"}[storage]
     fe = ">" if storage == "binary_be" else "<"
-    vertices = np.ascontiguousarray(vertices, dtype=np.float32).reshape(-1, 3)
+    # float64 input writes double x/y/z properties (keep_doubles round-trip);
+    # anything else truncates to float like the reference adapter
+    as_double = np.asarray(vertices).dtype == np.float64
+    vdt = np.float64 if as_double else np.float32
+    vertices = np.ascontiguousarray(vertices, dtype=vdt).reshape(-1, 3)
     n = len(vertices)
     if n == 0:
         raise ValueError("PLY requires at least one vertex")
+    ctype = "double" if as_double else "float"
     hdr = ["ply", f"format {fmt_name} 1.0",
            f"element vertex {n}",
-           "property float x", "property float y", "property float z"]
-    vert_fields = [("xyz", f"{fe}f4", (3,))]
+           f"property {ctype} x", f"property {ctype} y",
+           f"property {ctype} z"]
+    vert_fields = [("xyz", f"{fe}{'f8' if as_double else 'f4'}", (3,))]
     if vertex_normals is not None:
         hdr += ["property float nx", "property float ny", "property float nz"]
         vert_fields.append(("n", f"{fe}f4", (3,)))
@@ -309,8 +328,10 @@ def write_ply(path, vertices, vertex_normals=None, vertex_colors=None,
 
 
 def _fmt_f32(a):
-    """repr-roundtrip float formatting column-wise (value-lossless ascii)."""
-    return np.char.mod("%.9g", a.astype(np.float64))
+    """repr-roundtrip float formatting column-wise (value-lossless ascii).
+    %.9g for f32, %.17g for f64 — enough digits to reproduce the bits."""
+    fmt = "%.17g" if a.dtype.kind == "f" and a.dtype.itemsize == 8 else "%.9g"
+    return np.char.mod(fmt, a.astype(np.float64))
 
 
 def _write_ascii_body(f, vrec, vert_fields, tri, uv):
