@@ -214,3 +214,22 @@ def test_predict64_interpret_matches_sort(e1, e2):
     for g, w, name in zip(got, want, ("x1h", "x1l", "x2h", "x2l")):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("K", [2, 4, 8, 16])
+@pytest.mark.parametrize("e1,e2", [(4, 6), (4, 10), (2, 8)])
+def test_predict_window_kernel_parity(monkeypatch, K, e1, e2):
+    """Windowed K-positions-per-step encode predictor == oracle, any K
+    (VERDICT r4 #5). Also pins the K=0 (disabled) fallback."""
+    C, L = 3, 128
+    chunks = _chunks(C, L, seed=11 + K)
+    monkeypatch.setenv("TRICO_TPU_PALLAS_WINDOW", str(K))
+    xor1, xor2 = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    monkeypatch.setenv("TRICO_TPU_PALLAS_WINDOW", "0")
+    xor1b, xor2b = fp_pallas.predict_xors_pallas(jnp.asarray(chunks), e1, e2, True)
+    np.testing.assert_array_equal(np.asarray(xor1), np.asarray(xor1b))
+    np.testing.assert_array_equal(np.asarray(xor2), np.asarray(xor2b))
+    for c in range(C):
+        p1, p2 = fp_ref.predictions(chunks[c], e1, e2)
+        np.testing.assert_array_equal(np.asarray(xor1)[c], chunks[c] ^ p1)
+        np.testing.assert_array_equal(np.asarray(xor2)[c], chunks[c] ^ p2)

@@ -82,6 +82,71 @@ def _predict_kernel(e1, e2, T1, T2, L, CB, in_ref, xor1_ref, xor2_ref, t1_ref, t
     jax.lax.fori_loop(0, L, body, (z, z, z, z, z))
 
 
+def _predict_window_kernel(e1, e2, T1, T2, L, K, CB,
+                           in_ref, xor1_ref, xor2_ref, t1_ref, t2_ref):
+    """Windowed encode predictor: K positions per loop step, bit-exact.
+
+    Encode (unlike decode replay) has no value->prediction dependency chain:
+    both hash-key sequences are closed forms of the *inputs* —
+    ``k1_i = v_{i-1} >> (32-e1)`` (the ``(h1 << e1) & m1`` term is always 0)
+    and ``k2_i = t_{i-1} ^ ((t_{i-2} << e2/2) & m2)`` with
+    ``t = stride >> (32-e2)`` (the ``h2 << e2`` term masks away) — reference
+    fps.c:76-84; the same identities behind fp_jax._predict_sort. Only the
+    tables are sequential state, and a table read at position i equals
+    "latest j < i with key_j == key_i" — so a whole K-window resolves with:
+
+    * K stale-table one-hot reads (the table as of the window start),
+    * K(K-1)/2 pairwise in-window overrides (later writer wins), and
+    * K table writes applied once, after the window's reads.
+
+    Same op count as the 1-position scan but the reads/overrides are
+    *independent* — the serial reduce-latency chain per position becomes one
+    per window (VERDICT r4 #5: 5.9 -> beyond; measured on v5e in
+    scripts/tpu_predict_modes.py).
+    """
+    m2 = np.uint32((1 << e2) - 1)
+    sh2 = e2 // 2
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+    t1_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+    t2_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+    z = jnp.zeros((1, CB), jnp.uint32)
+
+    def window(w, carry):
+        vprev, tprev, tprev2 = carry
+        base = w * K
+        vs, k1s, strides, k2s = [], [], [], []
+        for q in range(K):
+            v = in_ref[base + q, :].reshape(1, CB)
+            vp = vs[q - 1] if q else vprev
+            vs.append(v)
+            k1s.append(vp >> (32 - e1))
+            s = v - vp
+            strides.append(s)
+            t_1 = (strides[q - 1] >> (32 - e2)) if q else tprev
+            t_2 = ((strides[q - 2] >> (32 - e2)) if q >= 2
+                   else (tprev if q == 1 else tprev2))
+            k2s.append(t_1 ^ ((t_2 << sh2) & m2))
+        for q in range(K):
+            # stale read, then in-window overrides (ascending j: last wins)
+            pred1 = _onehot_reduce(t1_ref[:], iota1, k1s[q])
+            pred2 = _onehot_reduce(t2_ref[:], iota2, k2s[q])
+            for j in range(q):
+                pred1 = jnp.where(k1s[j] == k1s[q], vs[j], pred1)
+                pred2 = jnp.where(k2s[j] == k2s[q], strides[j], pred2)
+            vp = vs[q - 1] if q else vprev
+            xor1_ref[base + q, :] = (vs[q] ^ pred1).reshape(CB)
+            xor2_ref[base + q, :] = (vs[q] ^ (vp + pred2)).reshape(CB)
+        for q in range(K):
+            t1_ref[:] = jnp.where(iota1 == k1s[q], vs[q], t1_ref[:])
+            t2_ref[:] = jnp.where(iota2 == k2s[q], strides[q], t2_ref[:])
+        tl = strides[K - 1] >> (32 - e2)
+        tl2 = (strides[K - 2] >> (32 - e2)) if K >= 2 else tprev
+        return (vs[K - 1], tl, tl2)
+
+    jax.lax.fori_loop(0, L // K, window, (z, z, z))
+
+
 def _fcm_multi_kernel(e1s, L, CB, in_ref, *refs):
     """FCM-only predictor scan for several exponents in one pass.
 
@@ -301,16 +366,41 @@ def _pad_lanes(values_T: jax.Array, CB: int = C_BLK):
     return values_T, Cp
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def predict_xors_pallas(values: jax.Array, e1: int, e2: int, interpret: bool = False):
-    """(C, L) uint32 chunks → (xor1, xor2) (C, L). Pallas predictor scan."""
+def _window_k(L: int) -> int:
+    """Encode-predictor window size (positions per loop step). 0 disables
+    the windowed kernel (falls back to the 1-position scan). K=4 measured
+    best on v5e (predict pass 18.6 GB/s vs 13.6 for the 1-step scan at
+    (4,6)/L=4096; K=8: 17.7, K=16: 16.5 — the O(K²) in-window override
+    chain grows faster than the saved loop overhead). See PERF_NOTES.md."""
+    k = int(_os.environ.get("TRICO_TPU_PALLAS_WINDOW", "4"))
+    return k if k > 1 and L % k == 0 else 0
+
+
+def predict_xors_pallas(values: jax.Array, e1: int, e2: int,
+                        interpret: bool = False):
+    """(C, L) uint32 chunks → (xor1, xor2) (C, L). Pallas predictor scan
+    (windowed K-positions-per-step when e1, e2 > 0 — bit-identical).
+    The window size is resolved OUTSIDE jit so the env override keys the
+    compilation cache."""
+    e1n, e2n = _norm_exponents(e1, e2)
+    K = _window_k(values.shape[1]) if (e1n and e2n) else 0
+    return _predict_xors_pallas_impl(values, e1, e2, interpret, K)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _predict_xors_pallas_impl(values: jax.Array, e1: int, e2: int,
+                              interpret: bool, K: int):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = values.shape
     T1, T2 = 1 << e1, 1 << e2
     CB = _c_blk(L, T1, T2)
     vT, Cp = _pad_lanes(values.T, CB)
     grid = (Cp // CB,)
-    kern = functools.partial(_predict_kernel, e1, e2, T1, T2, L, CB)
+    if K:
+        kern = functools.partial(_predict_window_kernel, e1, e2, T1, T2, L,
+                                 K, CB)
+    else:
+        kern = functools.partial(_predict_kernel, e1, e2, T1, T2, L, CB)
     xor1T, xor2T = pl.pallas_call(
         kern,
         grid=grid,
