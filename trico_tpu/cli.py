@@ -25,6 +25,25 @@ from .io import ply, stl
 from .profiling import StageTimer
 
 
+def _honor_jax_platforms() -> None:
+    """Make the CLI respect JAX_PLATFORMS even when a sitecustomize imported
+    jax at interpreter start with a pinned platform (the env var alone is
+    ignored after import; config.update still works before backend init).
+    Without this, `JAX_PLATFORMS=cpu trico_encoder ...` could hang claiming
+    an unavailable accelerator."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def _stager(enabled: bool):
     """Return (timer, stage) where stage(name, nbytes) is a context manager;
     a no-op when profiling is off."""
@@ -63,6 +82,7 @@ def encoder_main(argv=None) -> int:
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
+    _honor_jax_platforms()
 
     inp = Path(args.input)
     out = Path(args.output) if args.output else _default_output(inp, ".trc")
@@ -139,6 +159,7 @@ def decoder_main(argv=None) -> int:
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
+    _honor_jax_platforms()
 
     prof, stage = _stager(args.profile)
     data = Path(args.input).read_bytes()
