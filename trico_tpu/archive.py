@@ -228,10 +228,11 @@ class ArchiveWriter:
 
     def _write_lz4_planes(self, st: StreamType, arr: np.ndarray, count: int):
         self._begin(st, count)
-        if self._chunk_len and arr.dtype.itemsize in (4, 8):
-            # v1: pick the smaller of LZ4-byte-planes and BP32 per stream
-            # (BP32 = TPU-native bit-plane codec, codec/bp_ref.py; wins ~6%
-            # on index-like data, LZ4 keeps low-entropy colors)
+        if self._chunk_len:
+            # v1: pick-best integer coding per stream — BP32 vs LZ4 byte
+            # planes for u32/u64 (BP32 wins ~6% on index-like data), with
+            # constant planes short-circuited to 19-byte fill containers
+            # for every width (chunked.encode_int_best)
             from . import chunked as _chunked
 
             for payload in _chunked.encode_int_best(arr):
