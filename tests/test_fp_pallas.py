@@ -216,6 +216,30 @@ def test_predict64_interpret_matches_sort(e1, e2):
                                       err_msg=name)
 
 
+@pytest.mark.parametrize("K", [2, 4, 8])
+@pytest.mark.parametrize("e1,e2", [(4, 6), (4, 10)])
+def test_predict64_window_kernel_parity(monkeypatch, K, e1, e2):
+    """Windowed f64 encode predictor == sort predictor, across the 1024-row
+    slab boundary (carry slots vph/vpl/tprev/tprev2 persist via scratch),
+    any K; K=0 pins the 1-position fallback."""
+    from trico_tpu.codec import fp64_jax
+
+    C, L = 3, 2048
+    vals = mesh_like_floats(C * L, seed=17 + K, dtype=np.float64).view(np.uint64)
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32).reshape(C, L))
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(C, L))
+    monkeypatch.setenv("TRICO_TPU_PALLAS_WINDOW", str(K))
+    got = fp_pallas.predict64_xors_pallas(hi, lo, e1, e2, True)
+    monkeypatch.setenv("TRICO_TPU_PALLAS_WINDOW", "0")
+    plain = fp_pallas.predict64_xors_pallas(hi, lo, e1, e2, True)
+    want = fp64_jax._predict_sort64(hi, lo, *fp64_jax._norm_exponents(e1, e2))
+    for g, p, w, name in zip(got, plain, want, ("x1h", "x1l", "x2h", "x2l")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=f"windowed {name}")
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(w),
+                                      err_msg=f"plain {name}")
+
+
 @pytest.mark.parametrize("K", [2, 4, 8, 16])
 @pytest.mark.parametrize("e1,e2", [(4, 6), (4, 10), (2, 8)])
 def test_predict_window_kernel_parity(monkeypatch, K, e1, e2):

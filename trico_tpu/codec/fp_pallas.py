@@ -475,6 +475,91 @@ def _replay64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
         st_ref[k, :] = out[k].reshape(CB)
 
 
+def _predict64_window_kernel(e1, e2, T1, T2, Ls, K, CB, n_slabs,
+                             vh_ref, vl_ref, x1h_ref, x1l_ref, x2h_ref,
+                             x2l_ref, t1h_ref, t1l_ref, t2h_ref, t2l_ref,
+                             st_ref):
+    """Windowed f64 encode predictor (bit-exact mirror of
+    :func:`_predict_window_kernel` on (hi, lo) word pairs).
+
+    The f64 closed forms read only the hi word for both keys
+    (``v >> (64-e)`` == ``hi >> (32-e)`` for normalized e ≤ 30 —
+    fps.c:565-573): ``k1_i = vh_{i-1} >> (32-e1)`` and
+    ``k2_i = th_{i-1} ^ ((th_{i-2} << e2/2) & m2)`` with
+    ``th = stride_hi >> (32-e2)`` (64-bit stride with borrow). Scalar
+    carries persist across slabs via scratch, exactly like
+    :func:`_predict64_kernel`; the last 3 carry slots hold the previous
+    th values the first window of a slab needs.
+    """
+    j = pl.program_id(1)
+    m2 = np.uint32((1 << e2) - 1)
+    sh2 = e2 // 2
+    iota1 = jax.lax.broadcasted_iota(jnp.uint32, (T1, CB), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (T2, CB), 0)
+
+    @pl.when(j == 0)
+    def _init():
+        t1h_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t1l_ref[:] = jnp.zeros((T1, CB), jnp.uint32)
+        t2h_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        t2l_ref[:] = jnp.zeros((T2, CB), jnp.uint32)
+        st_ref[:] = jnp.zeros((4, CB), jnp.uint32)
+
+    def window(w, carry):
+        vph, vpl, tprev, tprev2 = carry
+        base = w * K
+        vhs, vls, k1s, shs, sls, k2s = [], [], [], [], [], []
+        for q in range(K):
+            vh = vh_ref[base + q, :].reshape(1, CB)
+            vl = vl_ref[base + q, :].reshape(1, CB)
+            ph = vhs[q - 1] if q else vph
+            plo = vls[q - 1] if q else vpl
+            vhs.append(vh)
+            vls.append(vl)
+            k1s.append(ph >> (32 - e1))
+            sl = vl - plo
+            sh = vh - ph - (vl < plo).astype(jnp.uint32)
+            shs.append(sh)
+            sls.append(sl)
+            t_1 = (shs[q - 1] >> (32 - e2)) if q else tprev
+            t_2 = ((shs[q - 2] >> (32 - e2)) if q >= 2
+                   else (tprev if q == 1 else tprev2))
+            k2s.append(t_1 ^ ((t_2 << sh2) & m2))
+        for q in range(K):
+            p1h = _onehot_reduce(t1h_ref[:], iota1, k1s[q])
+            p1l = _onehot_reduce(t1l_ref[:], iota1, k1s[q])
+            p2h = _onehot_reduce(t2h_ref[:], iota2, k2s[q])
+            p2l = _onehot_reduce(t2l_ref[:], iota2, k2s[q])
+            for i in range(q):
+                hit1 = k1s[i] == k1s[q]
+                p1h = jnp.where(hit1, vhs[i], p1h)
+                p1l = jnp.where(hit1, vls[i], p1l)
+                hit2 = k2s[i] == k2s[q]
+                p2h = jnp.where(hit2, shs[i], p2h)
+                p2l = jnp.where(hit2, sls[i], p2l)
+            ph = vhs[q - 1] if q else vph
+            plo = vls[q - 1] if q else vpl
+            x1h_ref[base + q, :] = (vhs[q] ^ p1h).reshape(CB)
+            x1l_ref[base + q, :] = (vls[q] ^ p1l).reshape(CB)
+            al = plo + p2l
+            d2h = ph + p2h + (al < plo).astype(jnp.uint32)
+            x2h_ref[base + q, :] = (vhs[q] ^ d2h).reshape(CB)
+            x2l_ref[base + q, :] = (vls[q] ^ al).reshape(CB)
+        for q in range(K):
+            t1h_ref[:] = jnp.where(iota1 == k1s[q], vhs[q], t1h_ref[:])
+            t1l_ref[:] = jnp.where(iota1 == k1s[q], vls[q], t1l_ref[:])
+            t2h_ref[:] = jnp.where(iota2 == k2s[q], shs[q], t2h_ref[:])
+            t2l_ref[:] = jnp.where(iota2 == k2s[q], sls[q], t2l_ref[:])
+        tl = shs[K - 1] >> (32 - e2)
+        tl2 = (shs[K - 2] >> (32 - e2)) if K >= 2 else tprev
+        return (vhs[K - 1], vls[K - 1], tl, tl2)
+
+    carry0 = tuple(st_ref[k, :].reshape(1, CB) for k in range(4))
+    out = jax.lax.fori_loop(0, Ls // K, window, carry0)
+    for k in range(4):
+        st_ref[k, :] = out[k].reshape(CB)
+
+
 def _predict64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
                       vh_ref, vl_ref, x1h_ref, x1l_ref, x2h_ref, x2l_ref,
                       t1h_ref, t1l_ref, t2h_ref, t2l_ref, st_ref):
@@ -523,12 +608,24 @@ def _predict64_kernel(e1, e2, T1, T2, Ls, CB, n_slabs,
         st_ref[k, :] = out[k].reshape(CB)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def predict64_xors_pallas(hi: jax.Array, lo: jax.Array, e1: int, e2: int,
                           interpret: bool = False):
     """f64 encode predictor: (C, L) (hi, lo) → (x1h, x1l, x2h, x2l).
 
-    Same 2D-grid/scratch layout as :func:`replay64_pallas`."""
+    Windowed K-positions-per-step when e1, e2 > 0 (bit-identical; same
+    closed-form-key argument as the f32 :func:`predict_xors_pallas`). The
+    window size is resolved OUTSIDE jit so the env override keys the
+    compilation cache. Same 2D-grid/scratch layout as
+    :func:`replay64_pallas`."""
+    e1n, e2n = _norm_exponents(e1, e2)
+    Ls = min(hi.shape[1], 1024)
+    K = _window_k(Ls) if (e1n and e2n) else 0
+    return _predict64_xors_pallas_impl(hi, lo, e1, e2, interpret, K)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _predict64_xors_pallas_impl(hi: jax.Array, lo: jax.Array, e1: int,
+                                e2: int, interpret: bool, K: int):
     e1, e2 = _norm_exponents(e1, e2)
     C, L = hi.shape
     T1, T2 = 1 << e1, 1 << e2
@@ -541,7 +638,14 @@ def predict64_xors_pallas(hi: jax.Array, lo: jax.Array, e1: int, e2: int,
         CB //= 2
     vhT, Cp = _pad_lanes(hi.T, CB)
     vlT, _ = _pad_lanes(lo.T, CB)
-    kern = functools.partial(_predict64_kernel, e1, e2, T1, T2, Ls, CB, n_slabs)
+    if K:
+        kern = functools.partial(_predict64_window_kernel, e1, e2, T1, T2,
+                                 Ls, K, CB, n_slabs)
+        n_carry = 4
+    else:
+        kern = functools.partial(_predict64_kernel, e1, e2, T1, T2, Ls, CB,
+                                 n_slabs)
+        n_carry = 8
     spec = pl.BlockSpec((Ls, CB), lambda i, j: (j, i), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kern,
@@ -554,7 +658,7 @@ def predict64_xors_pallas(hi: jax.Array, lo: jax.Array, e1: int, e2: int,
             pltpu.VMEM((T1, CB), jnp.uint32),
             pltpu.VMEM((T2, CB), jnp.uint32),
             pltpu.VMEM((T2, CB), jnp.uint32),
-            pltpu.VMEM((8, CB), jnp.uint32),
+            pltpu.VMEM((n_carry, CB), jnp.uint32),
         ],
         interpret=interpret,
     )(vhT, vlT)
