@@ -102,10 +102,32 @@ def run_config(nproc: int, total_devices: int = 8, timeout: int = 900) -> dict:
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for r in range(nproc)
     ]
-    texts = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=timeout)
-        texts.append(stdout.decode(errors="replace"))
+    # drain all ranks concurrently: a sequential communicate() on rank 0
+    # would deadlock if a later rank fills its 64 KiB stdout pipe mid-write
+    # while every rank sits in a Gloo collective waiting for it
+    import threading
+
+    texts = [None] * nproc
+    errs = [None] * nproc
+
+    def _drain(i, p):
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+            texts[i] = stdout.decode(errors="replace")
+        except Exception as e:  # TimeoutExpired etc.
+            errs[i] = e
+
+    threads = [threading.Thread(target=_drain, args=(i, p))
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if any(errs):
+        for p in procs:  # exact PIDs we started — never pkill by pattern
+            if p.poll() is None:
+                p.kill()
+        raise RuntimeError(f"worker drain failed: {[e for e in errs if e]}")
     for r, (p, t) in enumerate(zip(procs, texts)):
         if p.returncode != 0:
             raise RuntimeError(f"rank {r} failed:\n{t[-2000:]}")

@@ -37,6 +37,10 @@ def main():
     ref = None
     for K in (0, 4, 8, 16, 32):
         os.environ["TRICO_TPU_PALLAS_WINDOW"] = str(K)
+        # encode_f32_chunks_v2 resolves the window inside its jit trace, so
+        # the env change alone would re-run the first K's cached program —
+        # drop compiled programs to force an honest re-trace per K
+        jax.clear_caches()
         # predict pass alone
         out = fp_pallas.predict_xors_pallas(x, E1, E2)
         jax.block_until_ready(out)

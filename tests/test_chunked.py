@@ -259,3 +259,21 @@ def test_fill_container_corrupt_rejected():
         chunked.decode_fill(bytes(cont2))
     with pytest.raises(ValueError):
         chunked.decode_fill(bytes(cont[:-1]))  # truncated payload
+
+
+@pytest.mark.parametrize("layout,optimize", [("ref", True), ("ref", False),
+                                             ("tpu", True), ("tpu", False)])
+def test_f64_odd_chunk_len_rounds_before_chunking(layout, optimize):
+    """An odd f64 chunk_len is rounded to even BEFORE n_chunks is computed.
+
+    Regression: the TPU branch used to round after n_chunks was derived from
+    the odd value, so the ref-layout adaptive fallthrough sliced fewer
+    values than the container declared — silently dropping the tail (caught
+    as a framing error on decode at best)."""
+    vals = mesh_like_floats(1025, seed=31, dtype=np.float64).view(np.uint64)
+    cont = chunked.encode_chunked(vals, chunk_len=513, use_tpu=True,
+                                  optimize=optimize, layout=layout)
+    hdr = chunked.parse_container_header(cont)
+    assert hdr.chunk_len == 512
+    out, _ = chunked.decode_chunked(cont)
+    np.testing.assert_array_equal(out, vals)

@@ -237,6 +237,38 @@ def _host_fp_decode(payload, bits):
     return fp_ref.decompress_f32(payload) if bits == 32 else fp_ref.decompress_f64(payload)
 
 
+def host_decode_full_chunks(mat: np.ndarray, sizes_arr, idx, chunk_len: int,
+                            bits: int, layout: str) -> np.ndarray:
+    """Host decode of the full chunks ``mat[idx]`` → (len(idx), chunk_len)
+    raw words: threaded native decoder when built, per-chunk pure oracle
+    otherwise. ``sizes_arr`` aligns with ``mat`` rows; "tpu"-layout payloads
+    are relaid out to the reference chunk layout first (a byte permutation —
+    sizes are unchanged). Shared by :func:`decode_chunked` and
+    ``mesh_codec.decode_plane_sharded`` so the two VMEM-infeasible-exponent
+    fallbacks cannot drift apart."""
+    from . import native
+
+    B = mat.shape[1]
+    if native.available():
+        sub = mat[idx]
+        if layout == "tpu":
+            sub = native.relayout_chunks(sub, chunk_len, bits, to_v2=False)
+        return native.fp_decode_blocks(
+            sub.reshape(-1),
+            np.arange(len(idx), dtype=np.int64) * B,
+            np.asarray(sizes_arr, np.int64)[idx],
+            np.full(len(idx), chunk_len, np.int64), bits,
+        ).reshape(len(idx), chunk_len)
+    rows = []
+    for c in idx:
+        p1 = mat[c, : sizes_arr[c]]
+        if layout == "tpu":
+            p1 = np.frombuffer(
+                _relayout_payload(p1.tobytes(), bits, to_v2=False), np.uint8)
+        rows.append(_host_fp_decode(p1, bits))
+    return np.stack(rows)
+
+
 def _host_fp_encode_best(vals, candidates) -> bytes:
     """Host encode with the smallest payload over the candidate exponents
     (first strictly-smaller wins — same tie rule as the device argmin)."""
@@ -279,6 +311,12 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         raise ValueError(f"unknown layout {layout!r}")
     if bits == 32:
         chunk_len = (chunk_len // 8) * 8 or 8
+    else:
+        # even chunks: the v2 f64 pack works in 2-value groups. Rounding here
+        # (before n_chunks) keeps every downstream path consistent — the TPU
+        # branch previously rounded after n_chunks was computed, so an odd
+        # chunk_len falling through to the host loop dropped tail values.
+        chunk_len = (chunk_len // 2) * 2 or 2
     n = len(values)
     n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
     from .codec.fp_jax import F32_TPU_CANDIDATES
@@ -309,7 +347,6 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
             elif native.available() or layout == "tpu":
                 from .codec import fp64_jax
 
-                chunk_len = (chunk_len // 2) * 2 or 2
                 if optimize and layout == "tpu":
                     mat, sizes, tail = fp64_jax.encode_f64_adaptive(
                         values, chunk_len, fp64_jax.F64_TPU_CANDIDATES)
@@ -698,35 +735,18 @@ def decode_chunked(data, use_tpu: bool | None = None) -> tuple[np.ndarray, int]:
                 e1 = (int(hi) >> 4) << 1
                 e2 = (int(hi) & 15) << 1
                 # predictor replay needs (2^e1 + 2^e2)-row one-hot tables on
-                # device; past a VMEM-sane bound (the f64 default (20,20)
-                # would need 2^20 rows) the independent chunks decode on host
-                # threads at C speed instead (tt_fp*_decode_blocks), or — when
+                # device, at cost linear in the row count (a 5120-row (10,12)
+                # replay measured 0.25 GB/s on v5e — fp64_jax candidate
+                # notes); past this bound the independent chunks decode on
+                # host threads at C speed instead (tt_fp*_decode_blocks), or
+                # — when
                 # the native toolchain is unavailable — through the pure
                 # per-chunk host oracle (the device program would materialize
                 # 2^e2-row one-hot tables per scan step and OOM/hang,
                 # ADVICE r4 medium)
-                if (1 << e1) + (1 << e2) > (1 << 13):
-                    if native.available():
-                        sub = mat[idx]
-                        if layout == "tpu":
-                            sub = native.relayout_chunks(sub, chunk_len, bits,
-                                                         to_v2=False)
-                        vals = native.fp_decode_blocks(
-                            sub.reshape(-1),
-                            np.arange(len(idx), dtype=np.int64) * B,
-                            np.asarray(sizes, np.int64)[idx],
-                            np.full(len(idx), chunk_len, np.int64), bits,
-                        ).reshape(len(idx), chunk_len)
-                    else:
-                        rows = []
-                        for c in idx:
-                            p1 = mat[c, : sizes[c]]
-                            if layout == "tpu":
-                                p1 = np.frombuffer(
-                                    _relayout_payload(p1.tobytes(), bits,
-                                                      to_v2=False), np.uint8)
-                            rows.append(_host_fp_decode(p1, bits))
-                        vals = np.stack(rows)
+                if (1 << e1) + (1 << e2) > (1 << 12):
+                    vals = host_decode_full_chunks(mat, sizes, idx, chunk_len,
+                                                   bits, layout)
                 else:
                     vals = dec(mat[idx], chunk_len, e1, e2, layout=layout)
                     vals = vals.reshape(len(idx), chunk_len)

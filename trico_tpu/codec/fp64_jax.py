@@ -526,8 +526,9 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
 #   + (10,16)                 208,506     486,354
 #   + both [this]             208,173     486,354
 # Both mid-table pairs run through the sort predictor on device (cost
-# independent of table size) and decode on host threads (2^12+ rows exceed
-# the one-hot replay bound), same as (20,20).
+# independent of table size) and decode on host threads (their > 2^12 total
+# table rows exceed the one-hot replay routing bound — _DEVICE_TABLE_ROWS /
+# decode_chunked's identical check), same as (20,20).
 F64_TPU_CANDIDATES = ((4, 6), (10, 12), (10, 16), (20, 20))
 
 

@@ -822,35 +822,49 @@ def _predict_bcode_res(values, e1, e2):
 def _candidate_xors(values, norm):
     """(xor1, xor2) per normalized candidate, sharing predictor work.
 
-    Fast path (the F32_TPU_CANDIDATES shape): every candidate shares one e2,
-    so the DFCM xor is computed once — one fused (e1_main, e2) Pallas pass
-    plus one FCM-only multi-exponent pass for the remaining table sizes
-    (e1=0 is just v ^ vprev). Falls back to one full predictor per candidate
-    for arbitrary sets. Bit-identical either way.
+    The FCM xor depends only on e1 and the DFCM xor only on e2 (fps.c:76-84
+    — independent tables), so candidates are grouped by e2: each group with
+    several members computes its shared DFCM xor once via one fused
+    (e1_main, e2) Pallas pass, the remaining nonzero e1s via one FCM-only
+    multi-exponent pass, and e1=0 as plain ``v ^ vprev``. Groups whose
+    tables exceed the VMEM budget (and singleton groups) fall back to one
+    full predictor per candidate. Bit-identical in every arrangement.
     """
     C, L = values.shape
-    e2s = {e2 for (_, e2) in norm}
     use_pallas = (_predict_mode() == "pallas" and _use_pallas())
-    shared = len(e2s) == 1 and len({e1 for e1, _ in norm}) == len(norm)
-    if shared and use_pallas:
-        from . import fp_pallas
+    if not use_pallas:
+        return [_candidate_xors_one(values, e1, e2) for (e1, e2) in norm]
+    from . import fp_pallas
 
-        E2 = next(iter(e2s))
-        nonzero = [e1 for (e1, _) in norm if e1]
-        if nonzero and _pallas_tables_fit(L, max(nonzero), E2):
-            main = nonzero[0]
-            xor1 = {}
-            xor1[main], xor2 = fp_pallas.predict_xors_pallas(values, main, E2, False)
-            rest = tuple(e1 for e1 in nonzero[1:])
-            if rest:
-                for e1, x in zip(rest, fp_pallas.predict_fcm_xors_pallas(values, rest)):
-                    xor1[e1] = x
-            if any(e1 == 0 for (e1, _) in norm):
-                vprev = jnp.concatenate(
-                    [jnp.zeros((C, 1), jnp.uint32), values[:, :-1]], axis=1)
-                xor1[0] = values ^ vprev
-            return [(xor1[e1], xor2) for (e1, _) in norm]
-    return [_candidate_xors_one(values, e1, e2) for (e1, e2) in norm]
+    results = [None] * len(norm)
+    by_e2: dict = {}
+    for i, (e1, e2) in enumerate(norm):
+        by_e2.setdefault(e2, []).append(i)
+    for e2, idxs in by_e2.items():
+        e1s = [norm[i][0] for i in idxs]
+        nonzero = [e1 for e1 in dict.fromkeys(e1s) if e1]
+        fusable = (
+            len(idxs) > 1 and e2 > 0 and nonzero
+            and len(set(e1s)) == len(e1s)
+            and _pallas_tables_fit(L, max(nonzero), e2))
+        if not fusable:
+            for i in idxs:
+                results[i] = _candidate_xors_one(values, *norm[i])
+            continue
+        main = nonzero[0]
+        xor1 = {}
+        xor1[main], xor2 = fp_pallas.predict_xors_pallas(values, main, e2, False)
+        rest = tuple(nonzero[1:])
+        if rest:
+            for e1, x in zip(rest, fp_pallas.predict_fcm_xors_pallas(values, rest)):
+                xor1[e1] = x
+        if 0 in e1s:
+            vprev = jnp.concatenate(
+                [jnp.zeros((C, 1), jnp.uint32), values[:, :-1]], axis=1)
+            xor1[0] = values ^ vprev
+        for i in idxs:
+            results[i] = (xor1[norm[i][0]], xor2)
+    return results
 
 
 def _candidate_xors_one(values, e1, e2):

@@ -534,11 +534,14 @@ def decompress_mesh(blob, mesh: Mesh | None = None,
     return out
 
 
-# Device replay needs (2^e1 + 2^e2)-row one-hot tables in VMEM; past this
-# bound the chunks decode on the host instead (same bound as
-# chunked.decode_chunked uses — the f64 reference default (20,20) exceeds it;
-# the (4,6) F64_TPU_CANDIDATES member is the device-decodable one).
-_DEVICE_TABLE_ROWS = 1 << 13
+# Device replay needs (2^e1 + 2^e2)-row one-hot tables in VMEM, and its cost
+# is linear in the row count — a 5120-row (10,12) replay measured 0.25 GB/s
+# on v5e (fp64_jax candidate notes), well below the threaded host decoder.
+# Past this bound the chunks decode on the host instead (same bound as
+# chunked.decode_chunked uses). Among the candidate sets this keeps (4,6),
+# (0,6) and (4,10) on device and routes (10,12)/(10,16)/(14,18)/(20,20) to
+# host threads.
+_DEVICE_TABLE_ROWS = 1 << 12
 
 
 def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
@@ -591,26 +594,12 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
             e2 = int(mat[idx[0], 0] & 15) << 1
             Cg = len(idx)
             if (1 << e1) + (1 << e2) > _DEVICE_TABLE_ROWS:
-                # host decode for VMEM-infeasible exponents: threaded native
-                # when built, per-chunk pure oracle otherwise (the device
-                # program would OOM on 2^e2-row one-hot tables —
-                # ADVICE r4 medium)
-                if native.available():
-                    sub = native.relayout_chunks(mat[idx], chunk_len, bits,
-                                                 to_v2=False)
-                    vals = native.fp_decode_blocks(
-                        sub.reshape(-1),
-                        np.arange(Cg, dtype=np.int64) * B, full_sizes[idx],
-                        np.full(Cg, chunk_len, np.int64), bits,
-                    ).reshape(Cg, chunk_len)
-                else:
-                    vals = np.stack([
-                        _chunked._host_fp_decode(
-                            np.frombuffer(_chunked._relayout_payload(
-                                mat[c, : full_sizes[c]].tobytes(), bits,
-                                to_v2=False), np.uint8), bits)
-                        for c in idx])
-                out_rows[idx] = vals
+                # host decode for exponents past the device one-hot bound
+                # (threaded native when built, per-chunk pure oracle
+                # otherwise — ADVICE r4 medium); shared helper with
+                # decode_chunked so the two fallbacks cannot drift
+                out_rows[idx] = _chunked.host_decode_full_chunks(
+                    mat, full_sizes, idx, chunk_len, bits, "tpu")
                 continue
             Cp = max(((Cg + n_dev - 1) // n_dev) * n_dev, n_dev)
             sub = np.zeros((Cp, B), np.uint8)

@@ -47,10 +47,17 @@ class StageTimer:
         """Time a stage. Pass ``sync=jax.block_until_ready``-able output getter
         to include device completion (otherwise async dispatch time only)."""
         t0 = time.perf_counter()
+        ok = True
         try:
             yield
+        except BaseException:
+            ok = False
+            raise
         finally:
-            if sync is not None:
+            # only sync on success: on an exception the stage's outputs may
+            # not exist (a sync lambda closing over unassigned names would
+            # raise NameError from this finally and mask the real error)
+            if ok and sync is not None:
                 import jax
 
                 jax.block_until_ready(sync() if callable(sync) else sync)
