@@ -1,0 +1,100 @@
+"""Scan the VMEM log-shift/pair-compact row-block size on the real TPU.
+
+The pack/parse compaction kernels walk the lane networks on (R, S) VMEM
+tiles; R (``fp_pallas._R_SUB``, env ``TRICO_TPU_LOGSHIFT_ROWS``) trades grid
+steps against per-step work. r4 measured 16 best vs 8; this scans
+{8, 16, 32, 64} for the pack, parse, and end-to-end encode/decode at the
+production shape, asserting byte parity against the first config every time
+(the networks are R-invariant by construction).
+
+Also reports encode_f32_chunks_v2_adaptive — the per-e2 fused candidate
+path (r5) — with the default candidate set.
+
+Run alone (one TPU process at a time!):  python scripts/tpu_pack_rows_scan.py
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+L = int(os.environ.get("W_L", "4096"))
+C = int(os.environ.get("W_C", "2048"))  # 32 MB of u32
+E1, E2 = 4, 6
+
+
+def main():
+    from trico_tpu.codec import fp_jax, fp_pallas
+
+    # timing-honesty probe (the relay has been caught not synchronizing)
+    N = 2048
+    a = jax.random.normal(jax.random.PRNGKey(1), (N, N), jnp.bfloat16)
+    st = jax.jit(lambda m: (m @ m) / 256.0)
+    cur = st(a)
+    jax.block_until_ready(cur)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        cur = st(cur)
+    jax.block_until_ready(cur)
+    tflops = 2 * N**3 / ((time.perf_counter() - t0) / 20) / 1e12
+    print(f"probe {tflops:.1f} TFLOP/s (suspect if > 400)", flush=True)
+    if tflops > 400.0:
+        print("TIMING SUSPECT — numbers below are garbage; re-claim later",
+              flush=True)
+
+    r = np.random.default_rng(0)
+    t = np.linspace(0, 500 * np.pi, C * L)
+    vals = (np.sin(t) * 10 + np.cumsum(r.normal(0, 1e-3, C * L))).astype(
+        np.float32)
+    x = jnp.asarray(vals.view(np.uint32).reshape(C, L))
+    nbytes = C * L * 4
+    reps = max(5, int(1.5e9 // nbytes) + 1)
+    print(f"shape ({C}, {L}) = {nbytes/1e6:.0f} MB, exps ({E1},{E2}), "
+          f"reps {reps}", flush=True)
+
+    def clock(fn):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out)
+        return nbytes / 1e9 / ((time.perf_counter() - t0) / reps), out
+
+    bc, res = fp_jax.predict_f32_chunks(x, E1, E2)
+    jax.block_until_ready((bc, res))
+    ref_pay = None
+    for R in (8, 16, 32, 64):
+        fp_pallas._R_SUB = R
+        jax.clear_caches()
+        g_pack, (pay, sz) = clock(
+            lambda: fp_jax.pack_f32_chunks_v2(bc, res, E1, E2))
+        g_parse, (pb, px) = clock(
+            lambda: fp_jax.parse_f32_chunks_v2(pay, L, E1, E2))
+        g_enc, _ = clock(lambda: fp_jax.encode_f32_chunks_v2(x, E1, E2))
+        g_dec, dec = clock(
+            lambda: fp_jax.decode_f32_chunks_v2(pay, L, E1, E2))
+        ok = bool(jnp.all(dec == x))
+        if ref_pay is None:
+            ref_pay = jnp.asarray(pay).copy()
+            stable = True
+        else:
+            stable = bool(jnp.all(ref_pay == pay))
+        print(f"R={R:>2}: pack {g_pack:6.2f}  parse {g_parse:6.2f}  "
+              f"encode {g_enc:6.2f}  decode {g_dec:6.2f} GB/s  "
+              f"roundtrip={ok} bytes_stable={stable}", flush=True)
+
+    fp_pallas._R_SUB = 16
+    jax.clear_caches()
+    g_ad, _ = clock(lambda: fp_jax.encode_f32_chunks_v2_adaptive(x))
+    print(f"adaptive (fused per-e2 groups): {g_ad:.2f} GB/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -277,3 +277,52 @@ def test_f64_odd_chunk_len_rounds_before_chunking(layout, optimize):
     assert hdr.chunk_len == 512
     out, _ = chunked.decode_chunked(cont)
     np.testing.assert_array_equal(out, vals)
+
+
+def test_fast_profile_roundtrips_and_uses_small_tables():
+    """optimize="fast" (CLI --fast): v1 chunks only ever pick small-table
+    candidates (device-decodable), v0 uses the fixed default exponents;
+    both stay bit-exact."""
+    from trico_tpu.codec.fp_jax import F32_TPU_CANDIDATES_FAST
+
+    vals = mesh_like_floats(20_000, seed=41).view(np.uint32)
+    cont = chunked.encode_chunked(vals, chunk_len=4096, optimize="fast")
+    out, _ = chunked.decode_chunked(cont)
+    np.testing.assert_array_equal(out, vals)
+    hdr, sizes, off = chunked.parse_validated_framing(cont)
+    fast_infos = {((e1 // 2) << 4) | (e2 // 2)
+                  for (e1, e2) in F32_TPU_CANDIDATES_FAST}
+    pos = off
+    for k, sz in enumerate(sizes):
+        if (k + 1) * hdr.chunk_len <= hdr.total:  # full chunks only
+            assert cont[pos] in fast_infos
+        pos += sz
+
+    # archive level: v0 --fast == fixed default exponents (reference-
+    # decodable) and the search genuinely diverges on this data — the bunny
+    # is where the candidate search wins, so equality with optimize=False
+    # would be vacuous on smooth synthetic floats (regression: "fast" was
+    # once collapsed to bool True by `optimize and not chunk_len`)
+    from trico_tpu.archive import ArchiveReader, ArchiveWriter
+    from trico_tpu.io import stl
+    from conftest import BUNNY
+
+    verts, _ = stl.read_stl(BUNNY)
+    verts = verts[:20_000]
+    w_fast = ArchiveWriter(optimize="fast")
+    w_fast.write_vertices(verts)
+    w_fixed = ArchiveWriter(optimize=False)
+    w_fixed.write_vertices(verts)
+    w_search = ArchiveWriter(optimize=True)
+    w_search.write_vertices(verts)
+    assert w_fast.tobytes() == w_fixed.tobytes()
+    assert len(w_search.tobytes()) < len(w_fast.tobytes())
+    r = ArchiveReader(w_fast.tobytes())
+    np.testing.assert_array_equal(
+        r.read_vertices().view(np.uint32), verts.view(np.uint32))
+
+    w1 = ArchiveWriter(chunk_len=4096, optimize="fast")
+    w1.write_vertices(verts)
+    r1 = ArchiveReader(w1.tobytes())
+    np.testing.assert_array_equal(
+        r1.read_vertices().view(np.uint32), verts.view(np.uint32))

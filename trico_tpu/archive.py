@@ -134,7 +134,9 @@ class ArchiveWriter:
         # whole-plane adaptive exponents (v0); chunked archives adapt
         # per chunk inside encode_chunked instead (device argmin — one
         # program, no 5x host encodes)
-        self._optimize = optimize and not chunk_len
+        # NOTE: must preserve the string profiles ("fast"/"max") — a plain
+        # ``optimize and not chunk_len`` would collapse them to bool True
+        self._optimize = optimize if not chunk_len else False
         version = 1 if chunk_len else VERSION
         self._parts: list[bytes] = [struct.pack("<II", MAGIC, version)]
         if chunk_len:
@@ -195,6 +197,12 @@ class ArchiveWriter:
         if self._optimize == "max":
             cands = (F32_EXP_CANDIDATES_MAX if planes[0].dtype == np.uint32
                      else F64_EXP_CANDIDATES_MAX)
+        elif self._optimize == "fast":
+            # throughput profile: no candidate search, reference default
+            # exponents only (v0 output == the reference's own byte layout
+            # choices; chunked archives map "fast" to the small-table
+            # candidate set instead — chunked.encode_chunked)
+            cands = (default_exp,)
         elif self._optimize:
             cands = (F32_EXP_CANDIDATES if planes[0].dtype == np.uint32
                      else F64_EXP_CANDIDATES)

@@ -319,14 +319,19 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         chunk_len = (chunk_len // 2) * 2 or 2
     n = len(values)
     n_chunks = max((n + chunk_len - 1) // chunk_len, 0)
-    from .codec.fp_jax import F32_TPU_CANDIDATES
+    from .codec.fp_jax import F32_TPU_CANDIDATES, F32_TPU_CANDIDATES_FAST
 
+    # optimize="fast": throughput profile — only small-table candidates, so
+    # every predictor pass stays on the VMEM one-hot kernels (~7x the
+    # device adaptive rate; archives a few % larger; still self-describing)
     if bits == 32:
-        opt_cands = F32_TPU_CANDIDATES
+        opt_cands = (F32_TPU_CANDIDATES_FAST if optimize == "fast"
+                     else F32_TPU_CANDIDATES)
     else:
         from .codec.fp64_jax import F64_TPU_CANDIDATES
 
-        opt_cands = F64_TPU_CANDIDATES
+        opt_cands = (F64_TPU_CANDIDATES[:1] if optimize == "fast"
+                     else F64_TPU_CANDIDATES)
 
     payloads: list[bytes] = []
     if n >= chunk_len:
@@ -340,7 +345,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
 
                 if optimize:
                     mat, sizes, tail = fp_jax.encode_f32_adaptive(
-                        values, chunk_len, F32_TPU_CANDIDATES, layout=layout)
+                        values, chunk_len, opt_cands, layout=layout)
                 else:
                     mat, sizes, tail = fp_jax.encode_f32(values, chunk_len, e1, e2,
                                                          layout=layout)
@@ -349,7 +354,7 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
 
                 if optimize and layout == "tpu":
                     mat, sizes, tail = fp64_jax.encode_f64_adaptive(
-                        values, chunk_len, fp64_jax.F64_TPU_CANDIDATES)
+                        values, chunk_len, opt_cands)
                 elif optimize:
                     # ref-layout adaptive: host per-chunk best-of (below)
                     mat, sizes, tail = None, None, None

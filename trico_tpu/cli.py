@@ -79,6 +79,11 @@ def encoder_main(argv=None) -> int:
                     help="preserve float64 PLY vertex coordinates as a "
                          "vertex_double stream (the reference tools truncate "
                          "doubles to float)")
+    ap.add_argument("--fast", action="store_true",
+                    help="throughput profile: skip the adaptive exponent "
+                         "search (v0: reference default exponents; v1 "
+                         "--chunked: small-table candidate set only, ~7x "
+                         "the device encode rate at a few %% larger output)")
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage timing/GB/s report to stderr")
     args = ap.parse_args(argv)
@@ -93,11 +98,12 @@ def encoder_main(argv=None) -> int:
 
     prof, stage = _stager(args.profile)
     use_native = args.backend in ("auto", "native")
+    opt = "fast" if args.fast else True
     if args.backend == "jax" or args.chunked:
         # TPU chunk-parallel path → version-1 chunked archive
-        w = ArchiveWriter(chunk_len=args.chunked or 4096)
+        w = ArchiveWriter(chunk_len=args.chunked or 4096, optimize=opt)
     else:
-        w = ArchiveWriter(use_native=use_native)
+        w = ArchiveWriter(use_native=use_native, optimize=opt)
     if ext == ".stl":
         full = bool(args.stladd)
         with stage("read_stl", inp.stat().st_size):
