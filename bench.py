@@ -74,7 +74,10 @@ def _timing_probe():
     return 2 * N**3 / dt / 1e12  # TFLOP/s per step
 
 _probe_tflops = _timing_probe()
-timing_suspect = _probe_tflops > 400.0  # v5e bf16 peak ~197; 2x margin
+# v5e bf16 peak ~197 TFLOP/s; anything past ~250 is physically impossible.
+# (A partially-degraded relay has been observed at 368 "TFLOP/s" — the old
+# 400 threshold let garbage through.)
+timing_suspect = _probe_tflops > 250.0
 
 r = np.random.default_rng(0)
 t = np.linspace(0, 500 * np.pi, n_values)

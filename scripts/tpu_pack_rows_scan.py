@@ -29,10 +29,10 @@ C = int(os.environ.get("W_C", "2048"))  # 32 MB of u32
 E1, E2 = 4, 6
 
 
-def main():
-    from trico_tpu.codec import fp_jax, fp_pallas
-
-    # timing-honesty probe (the relay has been caught not synchronizing)
+def probe(tag):
+    # timing-honesty probe (the relay has been caught not synchronizing);
+    # run before AND after the scan — only a clean pair brackets honest
+    # numbers (the lying state has been observed to flip mid-session)
     N = 2048
     a = jax.random.normal(jax.random.PRNGKey(1), (N, N), jnp.bfloat16)
     st = jax.jit(lambda m: (m @ m) / 256.0)
@@ -43,10 +43,14 @@ def main():
         cur = st(cur)
     jax.block_until_ready(cur)
     tflops = 2 * N**3 / ((time.perf_counter() - t0) / 20) / 1e12
-    print(f"probe {tflops:.1f} TFLOP/s (suspect if > 400)", flush=True)
-    if tflops > 400.0:
-        print("TIMING SUSPECT — numbers below are garbage; re-claim later",
-              flush=True)
+    print(f"probe[{tag}] {tflops:.1f} TFLOP/s (suspect if > 250)", flush=True)
+    return tflops <= 250.0
+
+
+def main():
+    from trico_tpu.codec import fp_jax, fp_pallas
+
+    ok0 = probe("start")
 
     r = np.random.default_rng(0)
     t = np.linspace(0, 500 * np.pi, C * L)
@@ -70,7 +74,7 @@ def main():
     bc, res = fp_jax.predict_f32_chunks(x, E1, E2)
     jax.block_until_ready((bc, res))
     ref_pay = None
-    for R in (8, 16, 32, 64):
+    for R in (16, 32, 64):
         fp_pallas._R_SUB = R
         jax.clear_caches()
         g_pack, (pay, sz) = clock(
@@ -94,6 +98,8 @@ def main():
     jax.clear_caches()
     g_ad, _ = clock(lambda: fp_jax.encode_f32_chunks_v2_adaptive(x))
     print(f"adaptive (fused per-e2 groups): {g_ad:.2f} GB/s", flush=True)
+    ok1 = probe("end")
+    print(f"honest_bracket={ok0 and ok1}", flush=True)
 
 
 if __name__ == "__main__":

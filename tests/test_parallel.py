@@ -241,3 +241,31 @@ def test_compress_mesh_f64_device_count_invariance():
         for k in (1, 2, 8)
     }
     assert len(blobs) == 1
+
+
+@needs8
+def test_compress_mesh_fast_profile_matches_archive_writer():
+    """optimize="fast" (the CLI --fast profile) on the distributed path:
+    bit-identical to ArchiveWriter(optimize="fast"), round-trips, and
+    differs from the full-search default on data where the search wins."""
+    from trico_tpu.archive import ArchiveReader, ArchiveWriter
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    # quantized CAD-like coords: the big-table candidate wins chunks here
+    verts = np.stack([
+        np.round(mesh_like_floats(n, seed=s) * 64) / 64 for s in (4, 5, 6)
+    ], axis=1).astype(np.float32)
+    mesh = mesh_codec.make_mesh(8)
+    blob_fast = mesh_codec.compress_mesh(verts, chunk_len=256, mesh=mesh,
+                                         optimize="fast")
+    w = ArchiveWriter(chunk_len=256, layout="tpu", optimize="fast")
+    w.write_vertices(verts)
+    assert blob_fast == w.tobytes()
+    r = ArchiveReader(blob_fast)
+    np.testing.assert_array_equal(
+        r.read_vertices().view(np.uint32), verts.view(np.uint32))
+    blob_full = mesh_codec.compress_mesh(verts, chunk_len=256, mesh=mesh)
+    # strict: the full search must genuinely win on quantized data, or the
+    # profile plumbing silently collapsed to one path (21,092 vs 21,139 B)
+    assert len(blob_full) < len(blob_fast)

@@ -108,8 +108,9 @@ def _sharded_decode(payloads, L, e1, e2, mesh):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
-def _shardmap_encode_f32(values, e1, e2, mesh):
+@functools.partial(jax.jit, static_argnums=(1, 2),
+                   static_argnames=("mesh", "cands"))
+def _shardmap_encode_f32(values, e1, e2, mesh, cands=None):
     """shard_map encode: (p, Cp, L) uint32, chunk axis sharded over the mesh.
 
     Each device encodes only its local chunks (communication-free); the
@@ -122,7 +123,8 @@ def _shardmap_encode_f32(values, e1, e2, mesh):
 
     def local(vals):
         if e1 is None:
-            enc = lambda v: fp_jax.encode_f32_chunks_v2_adaptive(v)
+            cc = cands or fp_jax.F32_TPU_CANDIDATES
+            enc = lambda v: fp_jax.encode_f32_chunks_v2_adaptive(v, cc)
         else:
             enc = lambda v: fp_jax.encode_f32_chunks_v2(v, e1, e2)
         payloads, sizes = jax.vmap(enc)(vals)  # (p, C_loc, B), (p, C_loc)
@@ -151,8 +153,9 @@ def _shardmap_encode_f32(values, e1, e2, mesh):
     )(values)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
-def _shardmap_encode_f64(hi, lo, e1, e2, mesh):
+@functools.partial(jax.jit, static_argnums=(2, 3),
+                   static_argnames=("mesh", "cands"))
+def _shardmap_encode_f64(hi, lo, e1, e2, mesh, cands=None):
     """shard_map f64 encode: (p, Cp, L) hi/lo uint32 words, chunks sharded.
 
     Same collective shape as :func:`_shardmap_encode_f32` (reference f64
@@ -163,7 +166,8 @@ def _shardmap_encode_f64(hi, lo, e1, e2, mesh):
 
     def local(h, l):
         if e1 is None:
-            enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2_adaptive(hh, ll)
+            cc = cands or fp64_jax.F64_TPU_CANDIDATES
+            enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2_adaptive(hh, ll, cc)
         else:
             enc = lambda hh, ll: fp64_jax.encode_f64_chunks_v2(hh, ll, e1, e2)
         payloads, sizes = jax.vmap(enc)(h, l)
@@ -243,7 +247,9 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
                         sync=lambda: (dev_payloads, dev_sizes)):
             dev_payloads, dev_sizes, _ = _shardmap_encode_f32(
                 _put_sharded(vals, mesh, P(None, "chunks", None)),
-                None if optimize else e1, None if optimize else e2, mesh=mesh
+                None if optimize else e1, None if optimize else e2, mesh=mesh,
+                cands=(fp_jax.F32_TPU_CANDIDATES_FAST
+                       if optimize == "fast" else None),
             )
         with prof.stage("fp_gather", nbytes=vals.nbytes):
             payloads = _gather_to_host(dev_payloads)
@@ -259,8 +265,9 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         tail = planes[i, C * chunk_len :]
         if len(tail):
             with prof.stage("fp_tails", nbytes=tail.nbytes):
-                tp = (_chunked._host_fp_encode_best(tail,
-                                                    fp_jax.F32_TPU_CANDIDATES)
+                f32c = (fp_jax.F32_TPU_CANDIDATES_FAST
+                        if optimize == "fast" else fp_jax.F32_TPU_CANDIDATES)
+                tp = (_chunked._host_fp_encode_best(tail, f32c)
                       if optimize else _chunked._host_fp_encode(tail, e1, e2))
             chunk_sizes.append(len(tp))
             body.append(tp)
@@ -301,7 +308,9 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
             dev_payloads, dev_sizes, _ = _shardmap_encode_f64(
                 _put_sharded(hi, mesh, P(None, "chunks", None)),
                 _put_sharded(lo, mesh, P(None, "chunks", None)),
-                None if optimize else e1, None if optimize else e2, mesh=mesh)
+                None if optimize else e1, None if optimize else e2, mesh=mesh,
+                cands=(fp64_jax.F64_TPU_CANDIDATES[:1]
+                       if optimize == "fast" else None))
         with prof.stage("fp_gather", nbytes=hi.nbytes + lo.nbytes):
             payloads = _gather_to_host(dev_payloads)
             sizes = _gather_to_host(dev_sizes)
@@ -315,8 +324,9 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         tail = planes[i, C * chunk_len :]
         if len(tail):
             with prof.stage("fp_tails", nbytes=tail.nbytes):
-                tp = (_chunked._host_fp_encode_best(
-                        tail, fp64_jax.F64_TPU_CANDIDATES)
+                f64c = (fp64_jax.F64_TPU_CANDIDATES[:1]
+                        if optimize == "fast" else fp64_jax.F64_TPU_CANDIDATES)
+                tp = (_chunked._host_fp_encode_best(tail, f64c)
                       if optimize else _chunked._host_fp_encode(tail, e1, e2))
             chunk_sizes.append(len(tp))
             body.append(tp)
@@ -345,6 +355,11 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
     (m, 3) uint32, vertex colors uint32 rgba) go through the chunked-LZ4
     byte-plane path (independent blocks, threaded host emit). Stream order
     matches the reference encoder tool (trico_encoder/main.c:253-303).
+
+    ``optimize``: True (default) = adaptive per-chunk exponents over the
+    full candidate sets; ``"fast"`` = small-table candidates only (every
+    chunk stays on the VMEM one-hot kernels and decodes on device — the
+    CLI ``--fast`` profile); False = fixed exponents.
 
     Returns archive bytes decodable by :class:`trico_tpu.archive.ArchiveReader`
     (and by :func:`decompress_mesh` for the sharded decode).
