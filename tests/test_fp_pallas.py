@@ -257,3 +257,37 @@ def test_predict_window_kernel_parity(monkeypatch, K, e1, e2):
         p1, p2 = fp_ref.predictions(chunks[c], e1, e2)
         np.testing.assert_array_equal(np.asarray(xor1)[c], chunks[c] ^ p1)
         np.testing.assert_array_equal(np.asarray(xor2)[c], chunks[c] ^ p2)
+
+
+@pytest.mark.parametrize("cands", [
+    ((0, 6), (4, 6), (4, 10), (14, 18)),   # production default (mixed e2)
+    ((0, 6), (4, 6), (8, 6), (4, 10)),     # 3-member fused group + singleton
+    ((0, 8), (0, 6), (4, 6)),              # e1=0 members in two e2 groups
+    ((4, 10), (14, 18)),                   # singletons only (no fusion)
+])
+def test_candidate_xors_grouped_fusion_matches_sort(monkeypatch, cands):
+    """_candidate_xors per-e2 group fusion == the sort oracle for every
+    grouping shape (r5: the FCM xor depends only on e1 and the DFCM xor only
+    on e2, so mixed-e2 sets fuse per group instead of falling back to one
+    full predictor per candidate)."""
+    C, L = 4, 256
+    chunks = _chunks(C, L, seed=77)
+    v = jnp.asarray(chunks)
+    norm = [fp_jax._norm_exponents(e1, e2) for (e1, e2) in cands]
+    want = [fp_jax._predict_sort(v, e1, e2) for (e1, e2) in norm]
+    monkeypatch.setattr(fp_jax, "_use_pallas", lambda: True)
+    monkeypatch.setattr(fp_jax, "_predict_mode", lambda: "pallas")
+    real_pred = fp_pallas.predict_xors_pallas
+    real_fcm = fp_pallas.predict_fcm_xors_pallas
+    monkeypatch.setattr(
+        fp_pallas, "predict_xors_pallas",
+        lambda vals, e1, e2, interpret=False: real_pred(vals, e1, e2, True))
+    monkeypatch.setattr(
+        fp_pallas, "predict_fcm_xors_pallas",
+        lambda vals, e1s, interpret=False: real_fcm(vals, e1s, True))
+    got = fp_jax._candidate_xors(v, norm)
+    for k, ((x1g, x2g), (x1w, x2w)) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(np.asarray(x1g), np.asarray(x1w),
+                                      err_msg=f"cand {norm[k]} xor1")
+        np.testing.assert_array_equal(np.asarray(x2g), np.asarray(x2w),
+                                      err_msg=f"cand {norm[k]} xor2")
