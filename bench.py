@@ -73,11 +73,13 @@ def _timing_probe():
     dt = (_t.perf_counter() - t0) / 20
     return 2 * N**3 / dt / 1e12  # TFLOP/s per step
 
-_probe_tflops = _timing_probe()
 # v5e bf16 peak ~197 TFLOP/s; anything past ~250 is physically impossible.
 # (A partially-degraded relay has been observed at 368 "TFLOP/s" — the old
-# 400 threshold let garbage through.)
-timing_suspect = _probe_tflops > 250.0
+# 400 threshold let garbage through.) Fresh claims reliably START in the
+# lying state; idle sleeping does NOT clear it, but minutes of compile
+# activity often do — so probe once here for the record, run the (compile-
+# heavy) warm-ups, then re-probe just before trusting any timing.
+_probe_tflops = _timing_probe()
 
 r = np.random.default_rng(0)
 t = np.linspace(0, 500 * np.pi, n_values)
@@ -93,6 +95,17 @@ E1, E2 = 4, 6  # production chunked-mode exponents (chunked.F32_TPU_EXP)
 # same compressed size) — encode and decode both run entirely on device.
 payloads, sizes = fp_jax.encode_f32_chunks_v2(x, E1, E2)
 jax.block_until_ready((payloads, sizes))
+
+# re-probe after the compile-heavy warm-up (the lying state usually clears
+# during compile activity, not idle sleep — but give sleep a short chance
+# too); the verdict probe pair is (mid, end), the start probe is recorded
+# for diagnosis only
+_probe_mid = _timing_probe()
+for _i in range(4):
+    if _probe_mid <= 250.0:
+        break
+    time.sleep(30)
+    _probe_mid = _timing_probe()
 
 # reps sized so total kernel time >> the tunnel's fixed block_until_ready
 # sync latency (~10-15 ms): 10 reps at 8M values under-reported by ~30 percent
@@ -310,6 +323,11 @@ try:
 except Exception as e:
     f64 = {"error": str(e)[:160]}
 
+# end probe: catches the relay flipping into the lying state mid-run (the
+# timed sections between mid and end are only trusted if both read sane)
+_probe_end = _timing_probe()
+timing_suspect = _probe_mid > 250.0 or _probe_end > 250.0
+
 json.dump({"gbps": gbps, "decode_gbps": dgbps,
            "adaptive_encode_gbps": agbps,
            "ratio": C * chunk_len * 4 / comp_bytes,
@@ -318,6 +336,8 @@ json.dump({"gbps": gbps, "decode_gbps": dgbps,
            "miscompile_canary": canary,
            "timing_suspect": timing_suspect,
            "probe_tflops": round(_probe_tflops, 1),
+           "probe_mid_tflops": round(_probe_mid, 1),
+           "probe_end_tflops": round(_probe_end, 1),
            "scale": scale, "fullmesh": fullmesh, "f64": f64,
            "exact": exact and canary,
            "backend": jax.default_backend()}, open(out_path, "w"))
