@@ -58,12 +58,15 @@ _ = int(jnp.zeros((1,), jnp.int32)[0])
 # matmul; if the implied FLOP/s exceeds any physically possible value, mark
 # every timing in this run suspect so the driver/judge can discount them
 # (correctness checks remain valid — data does round-trip).
+_PROBE_N = 2048
+_probe_step = jax.jit(lambda m: (m @ m) / 256.0)  # compiled once, reused
+
 def _timing_probe():
     import time as _t
 
-    N = 2048
+    N = _PROBE_N
     a = jax.random.normal(jax.random.PRNGKey(1), (N, N), jnp.bfloat16)
-    st = jax.jit(lambda m: (m @ m) / 256.0)
+    st = _probe_step
     cur = st(a)
     jax.block_until_ready(cur)
     t0 = _t.perf_counter()
@@ -101,10 +104,10 @@ jax.block_until_ready((payloads, sizes))
 # too); the verdict probe pair is (mid, end), the start probe is recorded
 # for diagnosis only
 _probe_mid = _timing_probe()
-for _i in range(4):
+for _i in range(2):
     if _probe_mid <= 250.0:
         break
-    time.sleep(30)
+    time.sleep(20)
     _probe_mid = _timing_probe()
 
 # reps sized so total kernel time >> the tunnel's fixed block_until_ready

@@ -3,9 +3,10 @@
 The pack/parse compaction kernels walk the lane networks on (R, S) VMEM
 tiles; R (``fp_pallas._R_SUB``, env ``TRICO_TPU_LOGSHIFT_ROWS``) trades grid
 steps against per-step work. r4 measured 16 best vs 8; this scans
-{8, 16, 32, 64} for the pack, parse, and end-to-end encode/decode at the
-production shape, asserting byte parity against the first config every time
-(the networks are R-invariant by construction).
+{16, 32, 64} for the pack, parse, and end-to-end encode/decode at the
+production shape. Byte parity against the first config and round-trip
+exactness are hard-asserted every config (the networks are R-invariant by
+construction) — a False would mean kernel corruption, not a tuning result.
 
 Also reports encode_f32_chunks_v2_adaptive — the per-e2 fused candidate
 path (r5) — with the default candidate set.
@@ -81,6 +82,7 @@ def main():
 
     bc, res = fp_jax.predict_f32_chunks(x, E1, E2)
     jax.block_until_ready((bc, res))
+    R0 = fp_pallas._R_SUB
     ref_pay = None
     for R in (16, 32, 64):
         fp_pallas._R_SUB = R
@@ -101,8 +103,9 @@ def main():
         print(f"R={R:>2}: pack {g_pack:6.2f}  parse {g_parse:6.2f}  "
               f"encode {g_enc:6.2f}  decode {g_dec:6.2f} GB/s  "
               f"roundtrip={ok} bytes_stable={stable}", flush=True)
+        assert ok and stable, f"R={R}: kernel corruption (roundtrip={ok}, bytes_stable={stable})"
 
-    fp_pallas._R_SUB = 16
+    fp_pallas._R_SUB = R0  # restore the session's configured row-block
     jax.clear_caches()
     g_ad, _ = clock(lambda: fp_jax.encode_f32_chunks_v2_adaptive(x))
     print(f"adaptive (fused per-e2 groups): {g_ad:.2f} GB/s", flush=True)

@@ -307,6 +307,8 @@ def test_fast_profile_roundtrips_and_uses_small_tables():
     from trico_tpu.io import stl
     from conftest import BUNNY
 
+    if not BUNNY.exists():
+        pytest.skip("StanfordBunny.stl fixture not available")
     verts, _ = stl.read_stl(BUNNY)
     verts = verts[:20_000]
     w_fast = ArchiveWriter(optimize="fast")

@@ -269,3 +269,15 @@ def test_compress_mesh_fast_profile_matches_archive_writer():
     # strict: the full search must genuinely win on quantized data, or the
     # profile plumbing silently collapsed to one path (21,092 vs 21,139 B)
     assert len(blob_full) < len(blob_fast)
+
+    # f64 leg: fast profile restricts to F64_TPU_CANDIDATES_FAST on the
+    # sharded path too, bit-identical to the host writer
+    verts64 = verts.astype(np.float64)
+    blob64 = mesh_codec.compress_mesh(verts64, chunk_len=256, mesh=mesh,
+                                      optimize="fast")
+    w64 = ArchiveWriter(chunk_len=256, layout="tpu", optimize="fast")
+    w64.write_vertices_double(verts64)
+    assert blob64 == w64.tobytes()
+    r64 = ArchiveReader(blob64)
+    np.testing.assert_array_equal(
+        r64.read_vertices_double().view(np.uint64), verts64.view(np.uint64))

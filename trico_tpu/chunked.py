@@ -283,7 +283,7 @@ def _host_fp_encode_best(vals, candidates) -> bytes:
 def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
                    e1: int | None = None, e2: int | None = None,
                    use_tpu: bool | None = None, layout: str = "ref",
-                   optimize: bool = False) -> bytes:
+                   optimize: bool | str = False) -> bytes:
     """Encode a uint32/uint64 raw-bits stream into a chunked container.
 
     f32 full chunks go through the TPU path (``fp_jax``) when a non-CPU JAX
@@ -292,10 +292,13 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
     ("ref" = reference chunk layout; "tpu" = v2 tags-first layout, the fast
     gather-free device decode path — both widths).
 
-    ``optimize=True`` (f32 only) picks each chunk's hash exponents adaptively
-    from ``fp_jax.F32_TPU_CANDIDATES`` — one device program, exact sizes from
-    the bcodes, no extra host encodes; chunks stay self-describing via their
-    hash_info byte, so any decoder handles the mix.
+    ``optimize=True`` picks each chunk's hash exponents adaptively from
+    ``fp_jax.F32_TPU_CANDIDATES`` / ``fp64_jax.F64_TPU_CANDIDATES`` — one
+    device program, exact sizes from the bcodes, no extra host encodes;
+    chunks stay self-describing via their hash_info byte, so any decoder
+    handles the mix. ``optimize="fast"`` restricts the search to the
+    small-table ``*_FAST`` candidate sets (full-rate device encode, every
+    chunk device-decodable; the CLI ``--fast`` profile).
     """
     if values.dtype == np.uint32:
         bits = 32
@@ -328,9 +331,10 @@ def encode_chunked(values: np.ndarray, chunk_len: int = DEFAULT_CHUNK_LEN,
         opt_cands = (F32_TPU_CANDIDATES_FAST if optimize == "fast"
                      else F32_TPU_CANDIDATES)
     else:
-        from .codec.fp64_jax import F64_TPU_CANDIDATES
+        from .codec.fp64_jax import (F64_TPU_CANDIDATES,
+                                     F64_TPU_CANDIDATES_FAST)
 
-        opt_cands = (F64_TPU_CANDIDATES[:1] if optimize == "fast"
+        opt_cands = (F64_TPU_CANDIDATES_FAST if optimize == "fast"
                      else F64_TPU_CANDIDATES)
 
     payloads: list[bytes] = []

@@ -530,6 +530,10 @@ def encode_f64_chunks_v2(hi: jax.Array, lo: jax.Array, e1: int = 20, e2: int = 2
 # table rows exceed the one-hot replay routing bound — _DEVICE_TABLE_ROWS /
 # decode_chunked's identical check), same as (20,20).
 F64_TPU_CANDIDATES = ((4, 6), (10, 12), (10, 16), (20, 20))
+# The optimize="fast" profile: small-table candidates only, so every chunk
+# encodes on the VMEM one-hot kernels and decodes on device (mirror of
+# fp_jax.F32_TPU_CANDIDATES_FAST) — keep in sync with the set above.
+F64_TPU_CANDIDATES_FAST = ((4, 6),)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

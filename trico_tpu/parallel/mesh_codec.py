@@ -222,7 +222,7 @@ class _NullTimer:
 
 
 def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
-                          optimize: bool, prof=None) -> list[bytes]:
+                          optimize: bool | str, prof=None) -> list[bytes]:
     """Sharded-encode (p, N) uint32 planes → one chunked v1 container per plane.
 
     Full chunks go through the shard_map encode (all-gather size exscan fixes
@@ -278,7 +278,7 @@ def _f32_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
 
 
 def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
-                          optimize: bool = True, prof=None) -> list[bytes]:
+                          optimize: bool | str = True, prof=None) -> list[bytes]:
     """Sharded-encode (p, N) uint64 planes → one chunked v1 f64 container each.
 
     Bit-identical to ``chunked.encode_chunked(plane, layout="tpu")`` for any
@@ -309,7 +309,7 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
                 _put_sharded(hi, mesh, P(None, "chunks", None)),
                 _put_sharded(lo, mesh, P(None, "chunks", None)),
                 None if optimize else e1, None if optimize else e2, mesh=mesh,
-                cands=(fp64_jax.F64_TPU_CANDIDATES[:1]
+                cands=(fp64_jax.F64_TPU_CANDIDATES_FAST
                        if optimize == "fast" else None))
         with prof.stage("fp_gather", nbytes=hi.nbytes + lo.nbytes):
             payloads = _gather_to_host(dev_payloads)
@@ -324,7 +324,7 @@ def _f64_plane_containers(planes: np.ndarray, chunk_len: int, mesh: Mesh,
         tail = planes[i, C * chunk_len :]
         if len(tail):
             with prof.stage("fp_tails", nbytes=tail.nbytes):
-                f64c = (fp64_jax.F64_TPU_CANDIDATES[:1]
+                f64c = (fp64_jax.F64_TPU_CANDIDATES_FAST
                         if optimize == "fast" else fp64_jax.F64_TPU_CANDIDATES)
                 tp = (_chunked._host_fp_encode_best(tail, f64c)
                       if optimize else _chunked._host_fp_encode(tail, e1, e2))
@@ -342,7 +342,7 @@ def compress_mesh(vertices, triangles=None, *, triangle_normals=None,
                   uv_per_vertex=None, attributes_uint8=None,
                   attributes_uint32=None, attributes_uint64=None,
                   chunk_len: int = 4096, mesh: Mesh | None = None,
-                  optimize: bool = True, profile=None) -> bytes:
+                  optimize: bool | str = True, profile=None) -> bytes:
     """Distributed encode of a full mesh into a complete v1 ``.trc`` archive.
 
     Float vec3/vec2 attributes (vertices — float32 or float64 —, vertex
