@@ -291,3 +291,17 @@ def test_candidate_xors_grouped_fusion_matches_sort(monkeypatch, cands):
                                       err_msg=f"cand {norm[k]} xor1")
         np.testing.assert_array_equal(np.asarray(x2g), np.asarray(x2w),
                                       err_msg=f"cand {norm[k]} xor2")
+
+
+def test_logshift_rows_fit_scoped_vmem():
+    """_rows_for keeps the double-buffered (R, S) network tiles inside the
+    16 MiB scoped-VMEM limit (r5: BP32's S=65536 slot arrays compiled fine
+    on the limit-free CPU backend but VMEM-OOMed at compile time on real
+    TPUs — the first hardware run of compress_mesh with triangles)."""
+    for S in (16384, 32768, 65536, 131072):
+        R = fp_pallas._rows_for(S)
+        assert 16 * R * S <= 14 * 1024 * 1024, (S, R)
+        assert R >= 1
+    # production shapes keep the measured default
+    assert fp_pallas._rows_for(16384) == fp_pallas._R_SUB
+    assert fp_pallas._rows_for(32768) == fp_pallas._R_SUB

@@ -257,6 +257,19 @@ import os as _os
 _R_SUB = int(_os.environ.get("TRICO_TPU_LOGSHIFT_ROWS", "16"))
 
 
+def _rows_for(S: int) -> int:
+    """Row-block that keeps the network's double-buffered (R, S) in/out
+    tiles inside scoped VMEM: 4 tiles x R x S x 4 B <= 14 MiB. At the fp32
+    production S=16384 and the f64/BP-8192 S=32768 this returns _R_SUB
+    unchanged; BP32's S=65536 (chunk_len 16384, 4L slots) previously blew
+    the 16 MiB limit at compile time on real TPUs (r5 — the path only ever
+    ran on the limit-free CPU backend before)."""
+    R = _R_SUB
+    while R > 1 and 16 * R * S > 14 * 1024 * 1024:
+        R //= 2
+    return R
+
+
 def _logshift_kernel(S, pb, direction, interpret, word_ref, out_ref):
     w = word_ref[:, :]
     R = w.shape[0]
@@ -289,7 +302,7 @@ def logshift_pallas(word: jax.Array, pb: int, direction: str,
     versus ~2*nbits traversals for the XLA formulation.
     """
     C, S = word.shape
-    R = _R_SUB
+    R = _rows_for(S)
     Cp = ((C + R - 1) // R) * R
     if Cp != C:
         word = jnp.pad(word, ((0, Cp - C), (0, 0)))
@@ -337,7 +350,7 @@ def pair_compact_or_pallas(carrier: jax.Array, payload: jax.Array, nbits: int,
                            interpret: bool = False):
     """VMEM merging compaction of (C, S) (carrier, payload) rows."""
     C, S = carrier.shape
-    R = _R_SUB
+    R = _rows_for(S)
     Cp = ((C + R - 1) // R) * R
     if Cp != C:
         carrier = jnp.pad(carrier, ((0, Cp - C), (0, 0)))
