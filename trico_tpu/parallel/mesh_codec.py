@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec import fp64_jax, fp_jax
+from ..codec import bp_jax, fp64_jax, fp_jax
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "chunks") -> Mesh:
@@ -559,6 +559,43 @@ def decompress_mesh(blob, mesh: Mesh | None = None,
 _DEVICE_TABLE_ROWS = 1 << 12
 
 
+# Cached sharded decode programs. Building `jax.jit(jax.shard_map(lambda ...))`
+# inside decode_plane_sharded/decode_bp_sharded gave every call a fresh
+# function identity — every decompress_mesh call recompiled all decode
+# programs (~2.5 s/program on CPU, 40-60 s through the TPU remote-compile
+# tunnel). Module-level jits keyed on the static (chunk_len, exponents, mesh)
+# compile once per distinct shape.
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), static_argnames=("mesh",))
+def _sharded_decode_fp32(sub, chunk_len, e1, e2, mesh):
+    dec = jax.shard_map(
+        lambda m: fp_jax.decode_f32_chunks_v2(m, chunk_len, e1, e2),
+        mesh=mesh, in_specs=P("chunks", None), out_specs=P("chunks", None),
+        check_vma=False)  # Pallas out_shapes carry no vma; see above
+    return dec(sub)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), static_argnames=("mesh",))
+def _sharded_decode_fp64(sub, chunk_len, e1, e2, mesh):
+    dec = jax.shard_map(
+        lambda m: fp64_jax.decode_f64_chunks_v2(m, chunk_len, e1, e2),
+        mesh=mesh, in_specs=P("chunks", None),
+        out_specs=(P("chunks", None), P("chunks", None)), check_vma=False)
+    return dec(sub)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
+def _sharded_decode_bp(sub, chunk_len, eb, mesh):
+    if eb == 4:
+        fn = lambda m: bp_jax.decode_bp32_chunks(m, chunk_len)
+        specs = P("chunks", None)
+    else:
+        fn = lambda m: bp_jax.decode_bp64_chunks(m, chunk_len)
+        specs = (P("chunks", None), P("chunks", None))
+    dec = jax.shard_map(fn, mesh=mesh, in_specs=P("chunks", None),
+                        out_specs=specs, check_vma=False)
+    return dec(sub)
+
+
 def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
     """Collective-free distributed decode of one chunked FP container
     (f32 or f64, tpu layout).
@@ -620,23 +657,11 @@ def decode_plane_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarr
             sub = np.zeros((Cp, B), np.uint8)
             sub[:Cg] = mat[idx]
 
+            sub_dev = _put_sharded(sub, mesh, P("chunks", None))
             if bits == 32:
-                dec_fn = lambda m, e1=e1, e2=e2: fp_jax.decode_f32_chunks_v2(
-                    m, chunk_len, e1, e2)
+                got = _sharded_decode_fp32(sub_dev, chunk_len, e1, e2, mesh=mesh)
             else:
-                def dec_fn(m, e1=e1, e2=e2):
-                    vh, vl = fp64_jax.decode_f64_chunks_v2(m, chunk_len, e1, e2)
-                    return vh, vl
-
-            dec = jax.shard_map(
-                dec_fn,
-                mesh=mesh,
-                in_specs=P("chunks", None),
-                out_specs=P("chunks", None) if bits == 32
-                else (P("chunks", None), P("chunks", None)),
-                check_vma=False,  # Pallas out_shapes carry no vma; see above
-            )
-            got = jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None)))
+                got = _sharded_decode_fp64(sub_dev, chunk_len, e1, e2, mesh=mesh)
             if bits == 32:
                 vals = _gather_to_host(got)[:Cg]
             else:
@@ -702,20 +727,9 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
         Cp = max(((n_full + n_dev - 1) // n_dev) * n_dev, n_dev)
         sub = np.zeros((Cp, B), np.uint8)
         sub[:n_full] = mat
-        if eb == 4:
-            dec_fn = lambda m: bp_jax.decode_bp32_chunks(m, chunk_len)
-            specs = P("chunks", None)
-        else:
-            dec_fn = lambda m: bp_jax.decode_bp64_chunks(m, chunk_len)
-            specs = (P("chunks", None), P("chunks", None))
-        dec = jax.shard_map(
-            dec_fn,
-            mesh=mesh,
-            in_specs=P("chunks", None),
-            out_specs=specs,
-            check_vma=False,  # Pallas out_shapes carry no vma; see above
-        )
-        got = jax.jit(dec)(_put_sharded(sub, mesh, P("chunks", None)))
+        got = _sharded_decode_bp(
+            _put_sharded(sub, mesh, P("chunks", None)), chunk_len, eb,
+            mesh=mesh)
         if eb == 4:
             vals = _gather_to_host(got)[:n_full]
         else:
