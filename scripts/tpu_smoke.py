@@ -25,12 +25,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def _decode_sub(s):
+    """Kind-dispatched substream decode (mirrors the reader call sites)."""
+    from trico_tpu import chunked
+
+    hdr = chunked.parse_container_header(s)
+    if hdr is not None and hdr.kind == "bp":
+        return chunked.decode_bp_chunked(s, use_tpu=True)
+    return chunked.decode_lz4_chunked(s)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
     from trico_tpu import chunked
-    from trico_tpu.codec import bp_jax, fp64_jax, fp_jax
+    from trico_tpu.codec import fp_jax
     from trico_tpu.parallel import mesh_codec
 
     print(f"backend={jax.default_backend()}", flush=True)
@@ -53,7 +63,6 @@ def main() -> int:
     dec = fp_jax.decode_f32_chunks_v2(pay, 4096, 4, 6)
     check("f32 v2 fixed", bool(jnp.all(dec == x32)))
 
-    pay_a, sz_a = fp_jax.encode_f32_chunks_v2_adaptive(x32)
     # adaptive payloads are self-describing per chunk; decode via container
     cont = chunked.encode_chunked(f32.view(np.uint32), 4096, use_tpu=True,
                                   layout="tpu", optimize=True)
@@ -76,12 +85,23 @@ def main() -> int:
     check("bp64 @8192", np.array_equal(
         chunked.decode_bp_chunked(cbp64, use_tpu=True), u64))
 
-    plane = (u32 & 0xFF).astype(np.uint8)
-    subs = chunked.encode_int_best(u32, use_tpu=True)
     from trico_tpu.codec import transpose
-    planes = [chunked.decode_lz4_chunked(s) for s in subs]
-    check("int pick-best (lz4/bp/fill)", np.array_equal(
+
+    # random-ish data: LZ4/fill win the pick-best
+    subs = chunked.encode_int_best(u32, use_tpu=True)
+    planes = [_decode_sub(s) for s in subs]
+    check("int pick-best (lz4 branch)", np.array_equal(
         transpose.from_byte_planes(planes, np.uint32), u32))
+
+    # index-like (delta-coherent) data: BP32 must win and decode on device.
+    # BP streams carry the full values in substream 0 (the rest are empty
+    # placeholders keeping the substream count — FORMAT.md §6)
+    idx = (np.arange(200_000, dtype=np.uint32) // 3
+           + rng.integers(0, 7, 200_000).astype(np.uint32))
+    subs_i = chunked.encode_int_best(idx, use_tpu=True)
+    kinds = [chunked.parse_container_header(s).kind for s in subs_i]
+    check("int pick-best (bp branch)", kinds[0] == "bp" and np.array_equal(
+        chunked.decode_bp_chunked(subs_i[0], use_tpu=True), idx))
 
     nv = 50_000
     tv = np.linspace(0, 60 * np.pi, nv)

@@ -293,15 +293,71 @@ def test_candidate_xors_grouped_fusion_matches_sort(monkeypatch, cands):
                                       err_msg=f"cand {norm[k]} xor2")
 
 
-def test_logshift_rows_fit_scoped_vmem():
-    """_rows_for keeps the double-buffered (R, S) network tiles inside the
-    16 MiB scoped-VMEM limit (r5: BP32's S=65536 slot arrays compiled fine
-    on the limit-free CPU backend but VMEM-OOMed at compile time on real
-    TPUs — the first hardware run of compress_mesh with triangles)."""
-    for S in (16384, 32768, 65536, 131072):
-        R = fp_pallas._rows_for(S)
-        assert 16 * R * S <= 14 * 1024 * 1024, (S, R)
-        assert R >= 1
+def test_logshift_rows_fit_scoped_vmem(monkeypatch):
+    """The row blocks actually used by each compaction kernel keep its
+    double-buffered tiles inside the 16 MiB scoped-VMEM limit (r5: BP32's
+    S=65536 slot arrays compiled fine on the limit-free CPU backend but
+    VMEM-OOMed at compile time on real TPUs — the first hardware run of
+    compress_mesh with triangles). Budgets are asserted against each
+    kernel's true buffer count (log-shift: 1 in + 1 out; pair-compaction:
+    2 in + 1 out), not against _rows_for's own formula — including
+    non-power-of-two widths where only the pair kernel overflows."""
+    monkeypatch.setattr(fp_pallas, "_R_SUB", 16)
+    limit = 16 * 1024 * 1024
+    for S in (16384, 32768, 44032, 49152, 65536, 131072):
+        r_log = fp_pallas._rows_for(S)
+        assert 2 * 2 * r_log * S * 4 <= limit, ("logshift", S, r_log)
+        r_pair = fp_pallas._rows_for(S, n_tiles=6)
+        assert 2 * 3 * r_pair * S * 4 <= limit, ("pair", S, r_pair)
+        assert r_log >= 1 and r_pair >= 1
     # production shapes keep the measured default
-    assert fp_pallas._rows_for(16384) == fp_pallas._R_SUB
-    assert fp_pallas._rows_for(32768) == fp_pallas._R_SUB
+    assert fp_pallas._rows_for(16384) == 16
+    assert fp_pallas._rows_for(32768) == 16
+
+
+def test_logshift_reduced_rows_parity_wide():
+    """Interpret-mode parity at a width where _rows_for halves R (the BP32
+    S=65536 production shape) — the reduced-R grid/padding path must stay
+    bit-identical to the XLA formulation, not just compile on hardware."""
+    S, pb, C = 65536, 8, 3
+    assert fp_pallas._rows_for(S) < fp_pallas._R_SUB or fp_pallas._R_SUB == 1
+    rng = np.random.default_rng(9)
+    words = np.zeros((C, S), np.uint32)
+    for c in range(C):
+        n_live = rng.integers(1, S // 2)
+        src = np.sort(rng.choice(S, n_live, replace=False))
+        dst = np.sort(rng.choice(S, n_live, replace=False))
+        keep = dst <= src
+        src, dst = src[keep], dst[keep]
+        shift = (src - dst).astype(np.uint32)
+        payload = rng.integers(1, 1 << pb, len(src), dtype=np.uint32)
+        words[c, src] = (shift << pb) | payload
+    w = jnp.asarray(words)
+    want = fp_jax._logshift_passes(w, pb, S, "left") & jnp.uint32((1 << pb) - 1)
+    got = fp_pallas.logshift_pallas(w, pb, "left", True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pair_compact_reduced_rows_parity_wide():
+    """Same for the merging pair-compaction at a non-power-of-two width
+    where only its 6-tile footprint forces a smaller R (S=49152)."""
+    from trico_tpu.codec import pack_funnel
+
+    S, C = 49152, 3
+    rng = np.random.default_rng(5)
+    carrier = np.zeros((C, S), np.uint32)
+    payload = np.zeros((C, S), np.uint32)
+    for c in range(C):
+        n_live = rng.integers(1, S // 2)
+        src = np.sort(rng.choice(S, n_live, replace=False))
+        dst = np.sort(rng.choice(S, n_live, replace=False))
+        keep = dst <= src
+        src, dst = src[keep], dst[keep]
+        carrier[c, src] = (((src - dst).astype(np.uint32)) << 1) | 1
+        payload[c, src] = rng.integers(1, 1 << 30, len(src), dtype=np.uint32)
+    nbits = (S - 1).bit_length()
+    want = pack_funnel._pair_compact_or_xla(
+        jnp.asarray(carrier), jnp.asarray(payload), nbits)
+    got = fp_pallas.pair_compact_or_pallas(
+        jnp.asarray(carrier), jnp.asarray(payload), nbits, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -257,15 +257,17 @@ import os as _os
 _R_SUB = int(_os.environ.get("TRICO_TPU_LOGSHIFT_ROWS", "16"))
 
 
-def _rows_for(S: int) -> int:
-    """Row-block that keeps the network's double-buffered (R, S) in/out
-    tiles inside scoped VMEM: 4 tiles x R x S x 4 B <= 14 MiB. At the fp32
+def _rows_for(S: int, n_tiles: int = 4) -> int:
+    """Row-block that keeps a network's double-buffered (R, S) u32 tiles
+    inside scoped VMEM: ``n_tiles`` x R x S x 4 B <= 14 MiB, where n_tiles
+    counts pipeline buffers = 2 x (inputs + outputs) — 4 for the log-shift
+    (1 in, 1 out), 6 for the pair-compaction (2 in, 1 out). At the fp32
     production S=16384 and the f64/BP-8192 S=32768 this returns _R_SUB
     unchanged; BP32's S=65536 (chunk_len 16384, 4L slots) previously blew
     the 16 MiB limit at compile time on real TPUs (r5 — the path only ever
     ran on the limit-free CPU backend before)."""
     R = _R_SUB
-    while R > 1 and 16 * R * S > 14 * 1024 * 1024:
+    while R > 1 and n_tiles * R * S * 4 > 14 * 1024 * 1024:
         R //= 2
     return R
 
@@ -350,7 +352,7 @@ def pair_compact_or_pallas(carrier: jax.Array, payload: jax.Array, nbits: int,
                            interpret: bool = False):
     """VMEM merging compaction of (C, S) (carrier, payload) rows."""
     C, S = carrier.shape
-    R = _rows_for(S)
+    R = _rows_for(S, n_tiles=6)  # 2 inputs + 1 output, double-buffered
     Cp = ((C + R - 1) // R) * R
     if Cp != C:
         carrier = jnp.pad(carrier, ((0, Cp - C), (0, 0)))

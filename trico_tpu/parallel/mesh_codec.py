@@ -693,7 +693,6 @@ def decode_bp_sharded(container: bytes, mesh: Mesh | None = None) -> np.ndarray:
     tail. Covers both element widths (u64 rides (hi, lo) word pairs).
     """
     from .. import chunked as _chunked
-    from ..codec import bp_jax
 
     if mesh is None:
         mesh = make_mesh()
